@@ -1,0 +1,264 @@
+"""Configuration tree — the framework's single source of truth.
+
+The reference scatters its configuration between one YAML file
+(`Youth.Source/AlgorithmModule/config/astra_orb_slam3_rgbd.yaml:6-66`),
+compile-time constants (`Youth.Source/frameDefinitions.h:64`,
+`Youth.Source/SensorModule/sensorModule.c:25`), and duplicated magic numbers
+(the 570.3 focal length appears both in the YAML and hardcoded at
+`Youth.Source/ViewerModule/viewerModule.c:344-345` and
+`Youth.Source/SensorModule/astra_wrapper.cpp:93`).  Here every tunable lives
+in one frozen dataclass tree, serializable to/from YAML, and consumed by
+every layer — which removes the dup-constant hazard flagged in SURVEY.md §5.
+
+All dataclasses are frozen + hashable so they can be passed as static
+arguments to jitted functions without retracing churn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole camera model.
+
+    Defaults mirror the Orbbec Astra config of the reference
+    (`astra_orb_slam3_rgbd.yaml:9-23`): fx=fy=570.3, cx=320, cy=240,
+    640x480 @ 30 fps, depth in millimetres (DepthMapFactor 1000,
+    `astra_orb_slam3_rgbd.yaml:35`).
+    """
+
+    fx: float = 570.3
+    fy: float = 570.3
+    cx: float = 320.0
+    cy: float = 240.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    # Divide raw integer depth by this to get metres (mm -> m).
+    depth_scale: float = 1000.0
+    # Depth validity range in metres. ThDepth/bf in the reference gate
+    # "close" features (`astra_orb_slam3_rgbd.yaml:26-32`); we use explicit
+    # metric bounds.
+    min_depth: float = 0.2
+    max_depth: float = 8.0
+
+    def scaled(self, factor: float) -> "CameraIntrinsics":
+        """Intrinsics for an image downscaled by `factor` (pyramid levels)."""
+        return dataclasses.replace(
+            self,
+            fx=self.fx / factor,
+            fy=self.fy / factor,
+            cx=(self.cx + 0.5) / factor - 0.5,
+            cy=(self.cy + 0.5) / factor - 0.5,
+            width=int(self.width / factor),
+            height=int(self.height / factor),
+        )
+
+    def matrix(self) -> np.ndarray:
+        """3x3 K matrix (numpy; device code uses the scalars directly)."""
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """Feature budget — mirrors `astra_orb_slam3_rgbd.yaml:41-52`."""
+
+    n_features: int = 1024  # reference: 1000; padded to a lane-friendly 1024
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: float = 20.0  # iniThFAST
+    fast_min_threshold: float = 7.0  # minThFAST
+    # Static per-level candidate cap before global top-k (TPU static shapes).
+    max_per_level: int = 2048
+    patch_size: int = 31
+    # Hamming matching thresholds (ORB-SLAM conventions).
+    match_threshold: int = 64
+    match_ratio: float = 0.9
+
+
+@dataclass(frozen=True)
+class ICPConfig:
+    """Dense projective point-to-plane ICP (the odometry frontend)."""
+
+    levels: int = 3  # coarse-to-fine pyramid depth
+    # Gauss-Newton iterations per level, coarse -> fine.
+    iters: tuple = (10, 7, 5)
+    # Huber robust kernel width (metres) on the point-to-plane residual.
+    huber_delta: float = 0.05
+    # Association gates.
+    max_dist: float = 0.25  # metres between associated points
+    max_normal_angle_deg: float = 30.0
+    # Levenberg damping added to JtJ diagonal for conditioning (float32 TPU).
+    damping: float = 1e-6
+    # Early-out threshold on update norm (runs fixed iters under jit; this
+    # only gates *applying* the update, keeping shapes static).
+    min_update: float = 1e-7
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe selection + fixed-capacity map (SURVEY.md §7 layer 5)."""
+
+    max_keyframes: int = 256
+    max_map_points: int = 16384
+    # Insert a keyframe when translation/rotation to last KF exceeds these.
+    kf_min_trans: float = 0.10  # metres
+    kf_min_rot_deg: float = 10.0
+    # Or when tracked-inlier ratio drops below this.
+    kf_min_inlier_ratio: float = 0.35
+    # Co-visibility: two KFs are connected if they share >= this many points.
+    covis_min_shared: int = 15
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window local BA + pose graph (SURVEY.md §7 layer 6)."""
+
+    window: int = 8  # keyframes in the local window
+    max_points_per_window: int = 2048
+    iters: int = 5
+    huber_delta_px: float = 2.0
+    damping: float = 1e-4
+    # Pose graph
+    pg_iters: int = 10
+    pg_damping: float = 1e-6
+    # Loop closure
+    loop_min_score: float = 0.20
+    loop_min_interval: int = 20  # keyframes between loop candidates
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Host-side frame stream: backpressure + pacing.
+
+    Semantics from the reference: bounded ingest queue that warns above 10
+    and drops to 5 (`Youth.Source/AlgorithmModule/SLAM.cpp:162-168`), 30 fps
+    pacing (`sensorModule.c:242-243`), sensor retry/reinit counters
+    (`sensorModule.c:25,50-67`).
+    """
+
+    queue_capacity: int = 10
+    queue_drop_to: int = 5
+    prefetch: int = 4
+    max_consecutive_errors: int = 5
+    init_retries: int = 3
+    paced_fps: float = 0.0  # 0 = unpaced (as fast as possible)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the parallel layer (SURVEY.md §7 layer 7)."""
+
+    # Mesh axis sizes; 0 = infer from available devices.
+    data: int = 0  # concurrent sequences (batch mode)
+    model: int = 0  # sharded BA / matching / map blocks
+    # Preferred axis names.
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Session lifecycle knobs — `main.c` semantics (SURVEY.md §2 C1)."""
+
+    watchdog_period_s: float = 0.1  # main.c:310-342 polls at 100 ms
+    shutdown_timeout_s: float = 10.0  # force-exit timer, main.c:162-187
+    health_check_grace_s: float = 1.0
+    checkpoint_every_kf: int = 16
+    metrics_every_frames: int = 30
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    camera: CameraIntrinsics = field(default_factory=CameraIntrinsics)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    icp: ICPConfig = field(default_factory=ICPConfig)
+    keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    stream: StreamConfig = field(default_factory=StreamConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    # ------------------------------------------------------------------ YAML
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SLAMConfig":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                    ftp = fields[k].type
+                    # resolve string annotations to the actual class
+                    ftp = _TYPE_MAP.get(ftp, ftp) if isinstance(ftp, str) else ftp
+                    kwargs[k] = build(ftp, v)
+                return tp(**kwargs)
+            if isinstance(val, list):
+                return tuple(val)
+            return val
+
+        return build(cls, d)
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "SLAMConfig":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def replace(self, **kw: Any) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_TYPE_MAP = {
+    "CameraIntrinsics": CameraIntrinsics,
+    "ORBConfig": ORBConfig,
+    "ICPConfig": ICPConfig,
+    "KeyframeConfig": KeyframeConfig,
+    "BAConfig": BAConfig,
+    "StreamConfig": StreamConfig,
+    "MeshConfig": MeshConfig,
+    "RuntimeConfig": RuntimeConfig,
+}
+
+
+def astra_default_config() -> SLAMConfig:
+    """The Astra camera profile of the reference, as our defaults."""
+    return SLAMConfig()
+
+
+def tum_fr1_config() -> SLAMConfig:
+    """TUM RGB-D freiburg1 intrinsics (fr1/xyz, fr1/desk sequences)."""
+    cam = CameraIntrinsics(
+        fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=640, height=480,
+        fps=30.0, depth_scale=5000.0,
+    )
+    return SLAMConfig(camera=cam)
+
+
+def tum_fr2_config() -> SLAMConfig:
+    """TUM RGB-D freiburg2 intrinsics (fr2/desk)."""
+    cam = CameraIntrinsics(
+        fx=520.9, fy=521.0, cx=325.1, cy=249.7, width=640, height=480,
+        fps=30.0, depth_scale=5000.0,
+    )
+    return SLAMConfig(camera=cam)

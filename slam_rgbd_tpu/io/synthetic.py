@@ -1,0 +1,198 @@
+"""Synthetic RGB-D sequence generator — the framework's hardware-free sensor.
+
+The reference's substitute for a camera is its `.bin` record/playback path
+(`Youth.Source/LoggingModule/loggingModule.c:505-613`, SURVEY.md §4): a
+recorded stream replayed at 30 fps lets every downstream stage run with no
+Astra attached.  We go one step further: an analytic raycast scene with an
+exact ground-truth trajectory, so odometry/BA/loop-closure tests have a
+metric oracle (no dataset download needed — the build environment has zero
+egress).
+
+The scene is a box room with textured walls plus a set of spheres; color is a
+procedural 3D texture (stable under viewpoint change => usable for feature
+matching).  Raycasting is pure jax.numpy, jit-compiled, static-shaped, and
+runs on CPU or TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_rgbd_tpu.core import se3
+from slam_rgbd_tpu.core.config import CameraIntrinsics
+
+
+@dataclass(frozen=True)
+class SceneSpec:
+    """Box room [-half, half]^3 with `n_spheres` spheres inside."""
+
+    room_half: float = 3.0
+    n_spheres: int = 12
+    sphere_min_r: float = 0.25
+    sphere_max_r: float = 0.7
+    seed: int = 7
+    tex_freq: float = 2.1
+    checker_freq: float = 1.7
+
+    def spheres(self) -> np.ndarray:
+        """(n, 4) array of (cx, cy, cz, r), deterministic from seed."""
+        rng = np.random.default_rng(self.seed)
+        c = rng.uniform(-self.room_half * 0.6, self.room_half * 0.6, size=(self.n_spheres, 3))
+        r = rng.uniform(self.sphere_min_r, self.sphere_max_r, size=(self.n_spheres, 1))
+        return np.concatenate([c, r], axis=1).astype(np.float32)
+
+
+def _ray_box_interior(origin, dirs, half):
+    """Distance t to the box wall for rays starting inside [-half, half]^3.
+
+    Slab method: for an interior origin, the exit distance is
+    min over axes of max(t_near, t_far) per axis.
+    """
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-9, jnp.sign(dirs) * 1e-9 + 1e-12, dirs)
+    t1 = (-half - origin) * inv
+    t2 = (half - origin) * inv
+    t_far = jnp.maximum(t1, t2)
+    return jnp.min(t_far, axis=-1)
+
+
+def _ray_spheres(origin, dirs, spheres):
+    """Min positive hit distance over all spheres; inf if none.
+
+    origin: (3,), dirs: (..., 3), spheres: (n, 4).
+    """
+    c = spheres[:, :3]
+    r = spheres[:, 3]
+    oc = origin - c  # (n, 3)
+    # per-sphere quadratic: |d|^2 t^2 + 2 d.oc t + |oc|^2 - r^2 = 0
+    d = dirs[..., None, :]  # (..., 1, 3)
+    a = jnp.sum(d * d, axis=-1)  # (..., 1) broadcast over n
+    b = 2.0 * jnp.sum(d * oc, axis=-1)  # (..., n)
+    cc = jnp.sum(oc * oc, axis=-1) - r * r  # (n,)
+    disc = b * b - 4.0 * a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / (2.0 * a)
+    t1 = (-b + sq) / (2.0 * a)
+    t = jnp.where(t0 > 1e-4, t0, t1)
+    t = jnp.where((disc > 0) & (t > 1e-4), t, jnp.inf)
+    return jnp.min(t, axis=-1)
+
+
+def _texture(p: jax.Array, spec: SceneSpec) -> jax.Array:
+    """Procedural RGB in [0,1] from world position (..., 3).
+
+    Checkerboard (sharp edges => FAST corners) modulated by smooth sinusoids
+    (shading variety), identical from any viewpoint.
+    """
+    f = spec.checker_freq
+    checker = jnp.mod(
+        jnp.floor(p[..., 0] * f) + jnp.floor(p[..., 1] * f) + jnp.floor(p[..., 2] * f), 2.0
+    )
+    g = spec.tex_freq
+    s1 = 0.5 + 0.5 * jnp.sin(p[..., 0] * g * 3.1 + p[..., 1] * g * 1.7)
+    s2 = 0.5 + 0.5 * jnp.sin(p[..., 1] * g * 2.3 + p[..., 2] * g * 2.9)
+    s3 = 0.5 + 0.5 * jnp.sin(p[..., 2] * g * 3.7 + p[..., 0] * g * 1.3)
+    # fine detail layer for sub-checker corners
+    fine = 0.5 + 0.5 * jnp.sin(p[..., 0] * 11.0) * jnp.sin(p[..., 1] * 13.0) * jnp.sin(p[..., 2] * 9.0)
+    base = jnp.stack([s1, s2, s3], axis=-1)
+    return jnp.clip(0.15 + 0.55 * base * (0.4 + 0.6 * checker[..., None]) + 0.25 * fine[..., None], 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "spec"))
+def render_frame(T_wc: jax.Array, cam: CameraIntrinsics, spec: SceneSpec = SceneSpec()):
+    """Render (depth_raw uint16 sensor-units, rgb uint8) from camera pose T_wc.
+
+    T_wc maps camera coordinates to world coordinates (camera-to-world).
+    Depth is z-depth in camera frame, quantized like the reference sensor
+    (mm for depth_scale=1000 — `frameDefinitions.h`-era semantics).
+    """
+    h, w = cam.height, cam.width
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # Unnormalized camera-ray with dz = 1 so t == z-depth.
+    d_cam = jnp.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, jnp.ones_like(u)], axis=-1
+    )
+    R = T_wc[:3, :3]
+    origin = T_wc[:3, 3]
+    d_world = d_cam @ R.T
+
+    spheres = jnp.asarray(spec.spheres())
+    t_box = _ray_box_interior(origin, d_world, spec.room_half)
+    t_sph = _ray_spheres(origin, d_world, spheres)
+    t = jnp.minimum(t_box, t_sph)
+
+    p_world = origin + t[..., None] * d_world
+    rgb = _texture(p_world, spec)
+
+    depth_m = t  # z-depth because d_cam.z == 1
+    depth_raw = jnp.clip(depth_m * cam.depth_scale, 0, 65535).astype(jnp.uint16)
+    rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
+    return depth_raw, rgb_u8
+
+
+def orbit_trajectory(n_frames: int, spec: SceneSpec = SceneSpec(),
+                     radius: float = 0.8, step_t: float = 0.012,
+                     step_r: float = 0.01, seed: int = 3) -> np.ndarray:
+    """Smooth ground-truth trajectory: (n, 4, 4) camera-to-world poses.
+
+    A gentle orbit + bob inside the room, with small per-frame motion
+    comparable to TUM fr1 handheld speed (~1 cm / 0.5 deg per frame).
+    """
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = (0.0, 0.0, -radius)
+    for i in range(n_frames):
+        a = i * step_r
+        # twist in camera frame: forward drift + slow yaw + bob
+        xi = np.array(
+            [
+                step_t * np.sin(a * 3.0),
+                step_t * 0.5 * np.cos(a * 5.0),
+                step_t * np.cos(a * 2.0),
+                step_r * 0.3 * np.sin(a * 4.0),
+                step_r * 1.0,
+                step_r * 0.2 * np.cos(a * 3.0),
+            ],
+            dtype=np.float32,
+        )
+        poses.append(T.copy())
+        T = T @ np.asarray(se3.exp(jnp.asarray(xi)))
+        T = np.asarray(se3.normalize_rotation(jnp.asarray(T)))
+    return np.stack(poses)
+
+
+class SyntheticSequence:
+    """Iterable RGB-D sequence with ground truth — the dataset-shaped API.
+
+    Matches the loader protocol of `slam_rgbd_tpu.io.tum` so the SLAM
+    session can consume either interchangeably.
+    """
+
+    def __init__(self, n_frames: int, cam: CameraIntrinsics,
+                 spec: SceneSpec = SceneSpec(), fps: float = 30.0, **traj_kw):
+        self.cam = cam
+        self.spec = spec
+        self.fps = fps
+        self.poses = orbit_trajectory(n_frames, spec, **traj_kw)
+        self.timestamps = np.arange(n_frames, dtype=np.float64) / fps
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def frame(self, i: int):
+        """(timestamp_s, depth_raw u16 (H,W), rgb u8 (H,W,3))."""
+        depth, rgb = render_frame(jnp.asarray(self.poses[i]), self.cam, self.spec)
+        return self.timestamps[i], np.asarray(depth), np.asarray(rgb)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)
+
+    def groundtruth(self) -> np.ndarray:
+        """(n, 4, 4) camera-to-world poses."""
+        return self.poses

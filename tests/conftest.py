@@ -1,0 +1,33 @@
+"""Test harness: force CPU backend with an 8-device virtual mesh.
+
+Tests never touch the (single, tunneled) TPU chip; sharding/collective tests
+run on 8 virtual CPU devices per the multi-chip validation strategy in the
+build brief. Must run before jax is imported anywhere.
+"""
+
+import os
+
+# The harness pre-sets JAX_PLATFORMS=axon (tunneled TPU) — tests must
+# override it unconditionally or every compile goes over the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# sitecustomize may have imported jax already (axon PJRT registration), in
+# which case jax snapshotted JAX_PLATFORMS=axon from the env at import time
+# and the os.environ override above is ignored — force it via config.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
