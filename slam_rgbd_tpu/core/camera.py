@@ -73,6 +73,37 @@ def project(points: jax.Array, cam: CameraIntrinsics):
     return jnp.stack([u, v], axis=-1), in_front & in_bounds
 
 
+def bilinear_sample(img: jax.Array, u: jax.Array, v: jax.Array,
+                    valid_map: jax.Array):
+    """Bilinearly sample `img` (H, W[, C]) at float coords (u, v).
+
+    Returns (values, all_corners_valid). Out-of-range coordinates clamp to
+    the last interior cell; callers gate on their own bounds check. Used by
+    ICP association (sub-pixel accuracy: nearest-neighbour gather leaves a
+    mm-scale bias in the pose) and by feature sampling.
+    """
+    h, w = img.shape[:2]
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+    fu = jnp.clip(u - u0, 0.0, 1.0)
+    fv = jnp.clip(v - v0, 0.0, 1.0)
+    w00 = (1 - fu) * (1 - fv)
+    w01 = fu * (1 - fv)
+    w10 = (1 - fu) * fv
+    w11 = fu * fv
+    if img.ndim == 3:
+        w00, w01, w10, w11 = (x[..., None] for x in (w00, w01, w10, w11))
+    val = (
+        w00 * img[v0, u0] + w01 * img[v0, u0 + 1]
+        + w10 * img[v0 + 1, u0] + w11 * img[v0 + 1, u0 + 1]
+    )
+    ok = (
+        valid_map[v0, u0] & valid_map[v0, u0 + 1]
+        & valid_map[v0 + 1, u0] & valid_map[v0 + 1, u0 + 1]
+    )
+    return val, ok
+
+
 def normal_map(vertices: jax.Array) -> jax.Array:
     """Central-difference surface normals from a vertex map (H, W, 3).
 
@@ -156,21 +187,34 @@ def bilateral_depth_filter(
     return jnp.where(wacc > 1e-12, acc / jnp.maximum(wacc, 1e-12), 0.0)
 
 
+def image_gradients(img: jax.Array) -> jax.Array:
+    """Central-difference gradients (H, W, 2) = (d/du, d/dv); zero at borders."""
+    gx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    gy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    h, w = img.shape
+    u, v = pixel_grid(h, w, img.dtype)
+    interior = (u > 0) & (u < w - 1) & (v > 0) & (v < h - 1)
+    return jnp.where(interior[..., None], jnp.stack([gx, gy], axis=-1), 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "levels", "filter_depth"))
 def build_frame_pyramid(
     depth_raw: jax.Array,
     cam: CameraIntrinsics,
     levels: int = 3,
     filter_depth: bool = True,
+    rgb: jax.Array | None = None,
 ):
-    """Depth image -> per-level (depth_m, vertices, normals, valid) pyramid.
+    """Depth (+ optional RGB) image -> per-level frame pyramid.
 
-    Returns a tuple of dicts, finest level first. Static shapes per level:
-    level k is (H/2^k, W/2^k).
+    Each level dict has: depth (m), vertices, normals, valid — and, when
+    `rgb` is given, intensity in [0, 1] plus its (du, dv) gradients for the
+    photometric odometry term. Finest level first; level k is (H/2^k, W/2^k).
     """
     depth_m = depth_to_metres(depth_raw, cam)
     if filter_depth:
         depth_m = bilateral_depth_filter(depth_m)
+    intensity = None if rgb is None else rgb_to_intensity(rgb) / 255.0
     pyr = []
     d = depth_m
     level_cam = cam
@@ -178,16 +222,20 @@ def build_frame_pyramid(
         verts = backproject(d, level_cam)
         norms = normal_map(verts)
         valid = (verts[..., 2] > 0) & (jnp.sum(norms * norms, axis=-1) > 0.5)
-        pyr.append(
-            {
-                "depth": d,
-                "vertices": verts,
-                "normals": norms,
-                "valid": valid,
-            }
-        )
+        level = {
+            "depth": d,
+            "vertices": verts,
+            "normals": norms,
+            "valid": valid,
+        }
+        if intensity is not None:
+            level["intensity"] = intensity
+            level["grad"] = image_gradients(intensity)
+        pyr.append(level)
         if k + 1 < levels:
             d = downsample_depth(d)
+            if intensity is not None:
+                intensity = downsample_intensity(intensity)
             level_cam = cam.scaled(2.0 ** (k + 1))
     return tuple(pyr)
 

@@ -102,6 +102,12 @@ class ICPConfig:
     # Early-out threshold on update norm (runs fixed iters under jit; this
     # only gates *applying* the update, keeping shapes static).
     min_update: float = 1e-7
+    # Dense photometric (DVO-style) term: weight of the intensity residual
+    # block relative to the geometric block, and its Huber width (intensity
+    # in [0,1]). Geometry-only ICP cannot observe translation parallel to a
+    # flat wall; texture can. 0 disables the term.
+    rgb_weight: float = 20.0
+    rgb_huber: float = 0.08
 
 
 @dataclass(frozen=True)

@@ -29,12 +29,23 @@ from slam_rgbd_tpu.core.config import CameraIntrinsics
 
 @dataclass(frozen=True)
 class SceneSpec:
-    """Box room [-half, half]^3 with `n_spheres` spheres inside."""
+    """Box room [-half, half]^3 cluttered with spheres and cuboids.
+
+    A bare box room viewed frontally is a *degenerate* scene for
+    point-to-plane ICP — translation parallel to the visible wall and yaw
+    are nearly unconstrained, so the optimizer slides into deep false
+    minima. The cuboid clutter exists to make the 6x6 normal-equations
+    Hessian well-conditioned from any interior viewpoint, like a real
+    indoor scene (desks, shelves) would be.
+    """
 
     room_half: float = 3.0
-    n_spheres: int = 12
-    sphere_min_r: float = 0.25
-    sphere_max_r: float = 0.7
+    n_spheres: int = 16
+    sphere_min_r: float = 0.15
+    sphere_max_r: float = 0.5
+    n_boxes: int = 12
+    box_min_half: float = 0.12
+    box_max_half: float = 0.6
     seed: int = 7
     tex_freq: float = 2.1
     checker_freq: float = 1.7
@@ -45,6 +56,13 @@ class SceneSpec:
         c = rng.uniform(-self.room_half * 0.6, self.room_half * 0.6, size=(self.n_spheres, 3))
         r = rng.uniform(self.sphere_min_r, self.sphere_max_r, size=(self.n_spheres, 1))
         return np.concatenate([c, r], axis=1).astype(np.float32)
+
+    def boxes(self) -> np.ndarray:
+        """(n, 6) array of (cx, cy, cz, hx, hy, hz) axis-aligned cuboids."""
+        rng = np.random.default_rng(self.seed + 1)
+        c = rng.uniform(-self.room_half * 0.7, self.room_half * 0.7, size=(self.n_boxes, 3))
+        h = rng.uniform(self.box_min_half, self.box_max_half, size=(self.n_boxes, 3))
+        return np.concatenate([c, h], axis=1).astype(np.float32)
 
 
 def _ray_box_interior(origin, dirs, half):
@@ -79,6 +97,28 @@ def _ray_spheres(origin, dirs, spheres):
     t1 = (-b + sq) / (2.0 * a)
     t = jnp.where(t0 > 1e-4, t0, t1)
     t = jnp.where((disc > 0) & (t > 1e-4), t, jnp.inf)
+    return jnp.min(t, axis=-1)
+
+
+def _ray_aabbs(origin, dirs, boxes):
+    """Min positive *entering* hit distance over axis-aligned boxes.
+
+    origin: (3,), dirs: (..., 3), boxes: (n, 6) = center + half-extents.
+    Returns inf where a ray misses every box (or starts inside one — the
+    clutter boxes are treated as solid, rays from inside see their walls
+    via the room/sphere terms instead).
+    """
+    c = boxes[:, :3]
+    h = boxes[:, 3:]
+    d = dirs[..., None, :]  # (..., 1, 3)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.sign(d) * 1e-9 + 1e-12, d)
+    oc = origin - c  # (n, 3)
+    t1 = (-h - oc) * inv  # (..., n, 3)
+    t2 = (h - oc) * inv
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (..., n)
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (t_near > 1e-4) & (t_near <= t_far)
+    t = jnp.where(hit, t_near, jnp.inf)
     return jnp.min(t, axis=-1)
 
 
@@ -122,9 +162,11 @@ def render_frame(T_wc: jax.Array, cam: CameraIntrinsics, spec: SceneSpec = Scene
     d_world = d_cam @ R.T
 
     spheres = jnp.asarray(spec.spheres())
-    t_box = _ray_box_interior(origin, d_world, spec.room_half)
+    boxes = jnp.asarray(spec.boxes())
+    t_room = _ray_box_interior(origin, d_world, spec.room_half)
     t_sph = _ray_spheres(origin, d_world, spheres)
-    t = jnp.minimum(t_box, t_sph)
+    t_cub = _ray_aabbs(origin, d_world, boxes)
+    t = jnp.minimum(jnp.minimum(t_room, t_sph), t_cub)
 
     p_world = origin + t[..., None] * d_world
     rgb = _texture(p_world, spec)

