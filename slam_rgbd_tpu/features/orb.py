@@ -1,0 +1,185 @@
+"""ORB-class descriptors: intensity-centroid orientation + steered BRIEF-256.
+
+Replaces the descriptor half of the capability the reference delegates to
+ORB-SLAM3 (`astra_orb_slam3_rgbd.yaml:41-52` budget). TPU design choices:
+
+  * Patches for all K keypoints are gathered with one batched bilinear
+    gather from the (smoothed) pyramid level of each keypoint — a (K, P, P)
+    tensor, static shapes, no per-keypoint loops.
+  * The BRIEF point-pair pattern is generated once from a fixed seed
+    (isotropic Gaussian, sigma = patch/5, the original BRIEF construction —
+    generated, not copied from any library table) and rotated per keypoint
+    by its orientation (steered BRIEF).
+  * Descriptors are produced BOTH bit-packed ((K, 8) uint32, for storage /
+    hashing) and as a sign matrix ((K, 256) int8 in {-1, +1}) whose matmul
+    against another frame's sign matrix computes all-pairs Hamming distances
+    on the MXU (see `features/match.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_rgbd_tpu.features.detect import Keypoints
+
+PATCH = 31  # ORB patch diameter
+_HALF = PATCH // 2
+N_BITS = 256
+
+
+@functools.lru_cache()
+def brief_pattern(seed: int = 1234) -> np.ndarray:
+    """(256, 4) float32: (x1, y1, x2, y2) sample offsets, sigma = PATCH/5.
+
+    Deterministic Gaussian point pairs clipped to the patch — the original
+    BRIEF-II construction.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = PATCH / 5.0
+    pts = rng.normal(0.0, sigma, size=(N_BITS, 4))
+    return np.clip(pts, -_HALF + 1, _HALF - 1).astype(np.float32)
+
+
+def smooth(img: jax.Array) -> jax.Array:
+    """5-tap binomial blur (separable) — BRIEF needs a smoothed image."""
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    for ax in (0, 1):
+        acc = jnp.zeros_like(img)
+        for i, w in enumerate(k):
+            acc = acc + w * jnp.roll(img, i - 2, axis=ax)
+        img = acc
+    return img
+
+
+def _gather_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Sample img (H, W) at float coords; clamps to border."""
+    h, w = img.shape
+    u = jnp.clip(u, 0.0, w - 1.001)
+    v = jnp.clip(v, 0.0, h - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - u0
+    fv = v - v0
+    return (
+        (1 - fu) * (1 - fv) * img[v0, u0]
+        + fu * (1 - fv) * img[v0, u0 + 1]
+        + (1 - fu) * fv * img[v0 + 1, u0]
+        + fu * fv * img[v0 + 1, u0 + 1]
+    )
+
+
+class Descriptors(NamedTuple):
+    packed: jax.Array  # (K, 8) uint32 bit-packed
+    signs: jax.Array  # (K, 256) int8 in {-1, +1} — MXU matching operand
+    angle: jax.Array  # (K,) float32 orientation used
+
+
+def orientation(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation per patch (K, P, P) -> (K,) radians.
+
+    theta = atan2(m01, m10) over a circular mask of radius PATCH/2.
+    """
+    p = patches.shape[-1]
+    c = (p - 1) / 2.0
+    ys = jnp.arange(p, dtype=jnp.float32) - c
+    xs = jnp.arange(p, dtype=jnp.float32) - c
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    disk = (xx * xx + yy * yy) <= c * c
+    w = jnp.where(disk, 1.0, 0.0)
+    m10 = jnp.sum(patches * (xx * w), axis=(-2, -1))
+    m01 = jnp.sum(patches * (yy * w), axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
+def describe(
+    kp: Keypoints,
+    pyramid: tuple,
+    scale_factor: float = 1.2,
+) -> Descriptors:
+    """Compute oriented BRIEF-256 descriptors for fixed-K keypoints.
+
+    `pyramid` is the per-level intensity tuple from `detect_pyramid`. Each
+    keypoint samples its own level (static unroll over levels with masked
+    accumulation — levels are few and small).
+    """
+    K = kp.uv.shape[0]
+    pat = jnp.asarray(brief_pattern())  # (256, 4)
+
+    # Per-level smoothed images.
+    sm = [smooth(img) for img in pyramid]
+
+    # Patch grid offsets (P, P).
+    offs = jnp.arange(PATCH, dtype=jnp.float32) - _HALF
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
+
+    patches = jnp.zeros((K, PATCH, PATCH), jnp.float32)
+    for l, img in enumerate(sm):
+        s = scale_factor**l
+        # keypoint position in this level's pixel coords
+        u = kp.uv[:, 0] / s
+        v = kp.uv[:, 1] / s
+        pu = u[:, None, None] + gx[None]
+        pv = v[:, None, None] + gy[None]
+        vals = _gather_bilinear(img, pu.reshape(-1), pv.reshape(-1)).reshape(K, PATCH, PATCH)
+        patches = jnp.where((kp.level == l)[:, None, None], vals, patches)
+
+    theta = orientation(patches)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+
+    # Rotate pattern offsets per keypoint and sample within the patch
+    # (patch center at (_HALF, _HALF), axis-aligned in level coords).
+    def rot(x, y):
+        return ct[:, None] * x[None] - st[:, None] * y[None], st[:, None] * x[None] + ct[:, None] * y[None]
+
+    x1, y1 = rot(pat[:, 0], pat[:, 1])  # (K, 256)
+    x2, y2 = rot(pat[:, 2], pat[:, 3])
+
+    flat = patches.reshape(K, -1)
+
+    def sample_patch(x, y):
+        u = jnp.clip(x + _HALF, 0.0, PATCH - 1.001)
+        v = jnp.clip(y + _HALF, 0.0, PATCH - 1.001)
+        u0 = jnp.floor(u).astype(jnp.int32)
+        v0 = jnp.floor(v).astype(jnp.int32)
+        fu = u - u0
+        fv = v - v0
+        idx00 = v0 * PATCH + u0
+        g = jnp.take_along_axis
+        p00 = g(flat, idx00, axis=1)
+        p01 = g(flat, idx00 + 1, axis=1)
+        p10 = g(flat, idx00 + PATCH, axis=1)
+        p11 = g(flat, idx00 + PATCH + 1, axis=1)
+        return (1 - fu) * (1 - fv) * p00 + fu * (1 - fv) * p01 + (1 - fu) * fv * p10 + fu * fv * p11
+
+    i1 = sample_patch(x1, y1)
+    i2 = sample_patch(x2, y2)
+    bits = i1 < i2  # (K, 256) bool
+
+    signs = jnp.where(bits, jnp.int8(1), jnp.int8(-1))
+    # pack into 8 uint32 words
+    bits_u32 = bits.reshape(K, 8, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(bits_u32 * weights, axis=-1, dtype=jnp.uint32)
+    return Descriptors(packed=packed, signs=signs, angle=theta)
+
+
+def keypoint_depth(kp: Keypoints, depth_m: jax.Array, cam) -> tuple[jax.Array, jax.Array]:
+    """3D camera-frame points for keypoints from the depth map.
+
+    Returns ((K, 3) points, (K,) valid). Nearest-pixel depth lookup with
+    range gating — mirrors how RGB-D ORB systems lift features to 3D.
+    """
+    u = jnp.clip(jnp.round(kp.uv[:, 0]).astype(jnp.int32), 0, depth_m.shape[1] - 1)
+    v = jnp.clip(jnp.round(kp.uv[:, 1]).astype(jnp.int32), 0, depth_m.shape[0] - 1)
+    z = depth_m[v, u]
+    ok = kp.valid & (z > cam.min_depth) & (z < cam.max_depth)
+    x = (kp.uv[:, 0] - cam.cx) * z / cam.fx
+    y = (kp.uv[:, 1] - cam.cy) * z / cam.fy
+    pts = jnp.stack([x, y, z], axis=-1)
+    return jnp.where(ok[:, None], pts, 0.0), ok
