@@ -1,0 +1,214 @@
+"""Sliding-window local bundle adjustment — Schur complement, batched XLA.
+
+The BA capability the reference outsources to ORB-SLAM3's g2o backend,
+re-designed as dense batched linear algebra (BASELINE.json: "distributed
+bundle adjustment assembles the Schur-complement reduced camera system with
+psum/all-gather collectives" — this module is the single-device core; the
+`parallel/` layer wraps its assembly step in shard_map).
+
+Formulation (standard local BA):
+  * Variables: window keyframe poses T_w (W, 4, 4) (oldest held fixed as
+    gauge) and map-point positions X (P, 3).
+  * Residuals: reprojection r = pi(T_wc^-1 X) - uv over the (W, K)
+    observation grid from `MapState.point_id` — masked, static shape.
+  * Normal equations in block form:
+        [ Hcc  Hcp ] [ dc ]   [ -gc ]
+        [ Hcp' Hpp ] [ dp ] = [ -gp ]
+    with Hpp block-diagonal (3x3 per point). The reduced camera system
+        S = Hcc - Hcp Hpp^-1 Hcp',   b = -gc + Hcp Hpp^-1 gp
+    is (6W, 6W); dp back-substitutes per point.
+  * Assembly is einsum/scatter over all observations at once: per-point
+    blocks live in (P, 3, 3)/(P, 3) arrays, camera-point coupling in a
+    (P, 6W, 3) tensor (P and W are config-bounded so this is a few MB).
+
+Pose twists use the same left-multiplicative (v, w) convention as
+`core.se3` / ICP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_rgbd_tpu.core import se3
+from slam_rgbd_tpu.core.config import BAConfig, CameraIntrinsics
+
+
+class BAResult(NamedTuple):
+    kf_pose: jax.Array  # (W, 4, 4) refined camera-to-world poses
+    pt_xyz: jax.Array  # (P, 3) refined points (only observed ones move)
+    rmse_px: jax.Array  # () reprojection RMSE over inliers, pixels
+    n_obs: jax.Array  # () int32 active observations
+
+
+def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_pid, obs_ok, cam):
+    """Residuals + Jacobians for all (W, K) observations.
+
+    Returns r (W,K,2), Jc (W,K,2,6), Jx (W,K,2,3), mask (W,K).
+    Pose Jacobian is for a LEFT twist delta on T_cw (camera-from-world):
+    p_c = exp(d) T_cw X  =>  dp_c/dd = [I | -hat(p_c)].
+    """
+    W, K = obs_pid.shape
+    P = pt_xyz.shape[0]
+    X = pt_xyz[jnp.clip(obs_pid, 0, P - 1)]  # (W, K, 3)
+    T_cw = jax.vmap(se3.inverse)(poses_wc)  # (W, 4, 4)
+    p_c = jnp.einsum("wij,wkj->wki", T_cw[:, :3, :3], X) + T_cw[:, None, :3, 3]
+    x, y, z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    z_safe = jnp.maximum(z, 1e-3)
+    u = cam.fx * x / z_safe + cam.cx
+    v = cam.fy * y / z_safe + cam.cy
+    r = jnp.stack([u, v], axis=-1) - obs_uv  # (W, K, 2)
+
+    mask = obs_ok & (obs_pid >= 0) & (z > 0.05)
+
+    # d(u,v)/d p_c
+    fx, fy = cam.fx, cam.fy
+    zero = jnp.zeros_like(z_safe)
+    duv_dp = jnp.stack(
+        [
+            jnp.stack([fx / z_safe, zero, -fx * x / (z_safe * z_safe)], axis=-1),
+            jnp.stack([zero, fy / z_safe, -fy * y / (z_safe * z_safe)], axis=-1),
+        ],
+        axis=-2,
+    )  # (W, K, 2, 3)
+
+    # dp_c/dd for left twist on T_cw: [I | -hat(p_c)]
+    def hat_batch(p):
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        z0 = jnp.zeros_like(px)
+        return jnp.stack(
+            [
+                jnp.stack([z0, -pz, py], axis=-1),
+                jnp.stack([pz, z0, -px], axis=-1),
+                jnp.stack([-py, px, z0], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    dp_dd = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3), p_c.shape[:-1] + (3, 3)),
+            -hat_batch(p_c),
+        ],
+        axis=-1,
+    )  # (W, K, 3, 6)
+    Jc = jnp.einsum("wkab,wkbc->wkac", duv_dp, dp_dd)  # (W, K, 2, 6)
+    # dp_c/dX = R_cw
+    Jx = jnp.einsum("wkab,wbc->wkac", duv_dp, T_cw[:, :3, :3])  # (W, K, 2, 3)
+    return r, Jc, Jx, mask
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def local_ba(
+    poses_wc: jax.Array,  # (W, 4, 4) window keyframe poses (cam->world)
+    window_valid: jax.Array,  # (W,) bool
+    pt_xyz: jax.Array,  # (P, 3) all map points (world)
+    obs_uv: jax.Array,  # (W, K, 2) observed pixels
+    obs_pid: jax.Array,  # (W, K) int32 point ids (-1 none)
+    obs_ok: jax.Array,  # (W, K) bool
+    cam: CameraIntrinsics,
+    cfg: BAConfig,
+) -> BAResult:
+    """Gauss-Newton local BA over a fixed window; first valid KF is gauge.
+
+    Points outside the window's observations are untouched. Runs
+    `cfg.iters` fixed iterations (static); Huber on the pixel residual.
+    """
+    W, K = obs_pid.shape
+    P = pt_xyz.shape[0]
+    D = 6 * W
+
+    obs_ok = obs_ok & window_valid[:, None]
+    # gauge: fix the first valid window slot
+    first_valid = jnp.argmax(window_valid)  # index of first True
+    cam_free = window_valid & (jnp.arange(W) != first_valid)
+
+    def gn_iter(_, state):
+        poses, X = state
+        r, Jc, Jx, mask = _reproj_residuals(poses, X, obs_uv, obs_pid, obs_ok, cam)
+        # Huber weights on residual norm (pixels)
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(rn <= cfg.huber_delta_px, 1.0, cfg.huber_delta_px / jnp.maximum(rn, 1e-9))
+        w = jnp.where(mask, w, 0.0)  # (W, K)
+
+        pid_safe = jnp.where(mask, obs_pid, P)  # scatter dump slot P
+
+        # --- point blocks: Hpp (P, 3, 3), gp (P, 3) ------------------------
+        JxT_Jx = jnp.einsum("wkab,wkac->wkbc", Jx, Jx * w[..., None, None])
+        JxT_r = jnp.einsum("wkab,wka->wkb", Jx * w[..., None, None], r)
+        Hpp = jnp.zeros((P + 1, 3, 3)).at[pid_safe].add(JxT_Jx)[:P]
+        gp = jnp.zeros((P + 1, 3)).at[pid_safe].add(JxT_r)[:P]
+        observed = jnp.zeros((P + 1,), bool).at[pid_safe].set(True)[:P]
+
+        # Damped inverse of each 3x3 block. Damping must be RELATIVE to the
+        # block scale: a point seen once gives a rank-2 block with entries
+        # ~1e3-1e4, and an absolute 1e-4 shift is below float32 resolution
+        # there (LU pivot underflows to NaN).
+        lam = cfg.damping
+        tr = (Hpp[:, 0, 0] + Hpp[:, 1, 1] + Hpp[:, 2, 2]) / 3.0
+        Hpp = Hpp + (lam * tr + 1e-5)[:, None, None] * jnp.eye(3)[None]
+        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = jnp.where(observed[:, None, None], Hpp_inv, 0.0)
+
+        # --- camera blocks: Hcc (W, 6, 6) -> (D, D) block-diag -------------
+        JcT_Jc = jnp.einsum("wkab,wkac->wkbc", Jc, Jc * w[..., None, None])
+        JcT_r = jnp.einsum("wkab,wka->wkb", Jc * w[..., None, None], r)
+        Hcc_blocks = jnp.sum(JcT_Jc, axis=1)  # (W, 6, 6)
+        gc = jnp.sum(JcT_r, axis=1)  # (W, 6)
+
+        # --- coupling: A[p] = (6W, 3) column block per point ---------------
+        # per-obs Jc^T Jx (6, 3) scattered into (P, W, 6, 3)
+        JcT_Jx = jnp.einsum("wkab,wkac->wkbc", Jc, Jx * w[..., None, None])  # (W,K,6,3)
+        A = jnp.zeros((P + 1, W, 6, 3)).at[pid_safe, jnp.arange(W)[:, None]].add(
+            JcT_Jx
+        )[:P]  # (P, W, 6, 3)
+
+        # --- Schur: S = Hcc - sum_p A_p Hpp_p^-1 A_p^T ---------------------
+        AH = jnp.einsum("pwab,pbc->pwac", A, Hpp_inv)  # (P, W, 6, 3)
+        S_off = jnp.einsum("pwac,pvbc->wavb", AH, A)  # (W, 6, W, 6)
+        S = -S_off.reshape(D, D)
+        S = S.at[jnp.arange(D), jnp.arange(D)].add(0.0)  # keep layout
+        # add block-diagonal Hcc
+        Hcc_full = jax.scipy.linalg.block_diag(*[Hcc_blocks[i] for i in range(W)])
+        S = S + Hcc_full
+        b = -gc.reshape(D) + jnp.einsum("pwac,pc->wa", AH, gp).reshape(D)
+
+        # gauge + invalid cameras: pin their 6-blocks to identity rows.
+        # Camera damping likewise scales with the diagonal.
+        free = jnp.repeat(cam_free, 6)
+        S = jnp.where(free[:, None] & free[None, :], S, 0.0)
+        s_diag = jnp.diagonal(S)
+        S = S.at[jnp.arange(D), jnp.arange(D)].add(
+            jnp.where(free, lam * jnp.maximum(s_diag, 1.0) + 1e-5, 1.0)
+        )
+        b = jnp.where(free, b, 0.0)
+
+        dc = jnp.linalg.solve(S, b)  # (D,)
+        dc_blocks = dc.reshape(W, 6)
+
+        # back-substitute points: dp = Hpp^-1 (-gp - A^T dc)
+        Atdc = jnp.einsum("pwab,wa->pb", A, dc_blocks)  # (P, 3)
+        dp = jnp.einsum("pab,pb->pa", Hpp_inv, -gp - Atdc)
+        dp = jnp.where(observed[:, None], dp, 0.0)
+
+        # apply: left twist on T_cw  =>  T_wc_new = T_wc exp(-d)
+        def apply_one(Ti, di, freei):
+            T_new = Ti @ se3.exp(-di)
+            T_new = se3.normalize_rotation(T_new)
+            return jnp.where(freei, T_new, Ti)
+
+        poses_new = jax.vmap(apply_one)(poses, dc_blocks, cam_free)
+        X_new = X + dp
+        return (poses_new, X_new)
+
+    poses_out, X_out = jax.lax.fori_loop(0, cfg.iters, gn_iter, (poses_wc, pt_xyz))
+
+    # final stats
+    r, _, _, mask = _reproj_residuals(poses_out, X_out, obs_uv, obs_pid, obs_ok, cam)
+    rn2 = jnp.sum(r * r, axis=-1)
+    n = jnp.sum(mask)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(mask, rn2, 0.0)) / jnp.maximum(n, 1))
+    return BAResult(kf_pose=poses_out, pt_xyz=X_out, rmse_px=rmse, n_obs=n)

@@ -1,0 +1,300 @@
+"""Map store, local BA, pose graph, loop closure tests with exact oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_rgbd_tpu.backend import ba, loop, pose_graph
+from slam_rgbd_tpu.core import se3
+from slam_rgbd_tpu.core.config import BAConfig, CameraIntrinsics, KeyframeConfig
+from slam_rgbd_tpu.mapping import map as smap
+
+CAM = CameraIntrinsics(fx=120.0, fy=120.0, cx=79.5, cy=59.5, width=160, height=120)
+KCFG = KeyframeConfig(max_keyframes=16, max_map_points=512)
+K = 64  # keypoints per KF in tests
+
+
+def _make_world(rng, n_pts=100):
+    """Random world points in front of a small trajectory."""
+    pts = np.stack([
+        rng.uniform(-1.5, 1.5, n_pts),
+        rng.uniform(-1.0, 1.0, n_pts),
+        rng.uniform(2.0, 4.0, n_pts),
+    ], axis=1).astype(np.float32)
+    return pts
+
+
+def _observe(T_wc, pts_w, noise=0.0, rng=None):
+    """Project world pts into camera T_wc -> (uv, pts_cam, ok)."""
+    T_cw = np.linalg.inv(T_wc)
+    pc = pts_w @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = pc[:, 2]
+    u = CAM.fx * pc[:, 0] / z + CAM.cx
+    v = CAM.fy * pc[:, 1] / z + CAM.cy
+    if noise and rng is not None:
+        u = u + rng.normal(0, noise, u.shape)
+        v = v + rng.normal(0, noise, v.shape)
+    ok = (z > 0.3) & (u >= 0) & (u < CAM.width) & (v >= 0) & (v < CAM.height)
+    return np.stack([u, v], 1).astype(np.float32), pc.astype(np.float32), ok
+
+
+class TestMapState:
+    def _kp_arrays(self, rng, uv, pts, ok, n=K):
+        signs = rng.choice([-1, 1], size=(n, 256)).astype(np.int8)
+        return (jnp.asarray(uv[:n]), jnp.asarray(pts[:n]), jnp.asarray(ok[:n]),
+                jnp.asarray(signs))
+
+    def test_insert_and_spawn(self, rng):
+        m = smap.empty_map(KCFG, K)
+        pts_w = _make_world(rng, K)
+        T0 = np.eye(4, dtype=np.float32)
+        uv, pc, ok = _observe(T0, pts_w)
+        uvj, pcj, okj, signs = self._kp_arrays(rng, uv, pc, ok)
+        m = smap.insert_keyframe(m, jnp.asarray(T0), 0.0, uvj, pcj, okj, signs,
+                                 jnp.full((K,), -1, jnp.int32))
+        assert int(m.n_kf) == 1
+        assert int(m.n_pt) == int(ok.sum())
+        assert int(smap.map_point_count(m)) == int(ok.sum())
+        # world positions of spawned points match
+        pid = np.asarray(m.point_id[0])
+        for j in range(K):
+            if ok[j]:
+                np.testing.assert_allclose(
+                    np.asarray(m.pt_xyz[pid[j]]), pts_w[j], atol=1e-5)
+
+    def test_observation_and_covis(self, rng):
+        m = smap.empty_map(KCFG, K)
+        pts_w = _make_world(rng, K)
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.asarray(se3.exp(jnp.asarray([0.05, 0, 0, 0, 0.02, 0], dtype=jnp.float32)))
+        uv0, pc0, ok0 = _observe(T0, pts_w)
+        uvj, pcj, okj, signs = self._kp_arrays(rng, uv0, pc0, ok0)
+        m = smap.insert_keyframe(m, jnp.asarray(T0), 0.0, uvj, pcj, okj, signs,
+                                 jnp.full((K,), -1, jnp.int32))
+        # second KF observes the SAME points (same descriptor order)
+        uv1, pc1, ok1 = _observe(T1, pts_w)
+        pid0 = m.point_id[0]
+        match_pid = jnp.where(jnp.asarray(ok1) & (pid0 >= 0), pid0, -1)
+        uvj1, pcj1, okj1, _ = self._kp_arrays(rng, uv1, pc1, ok1)
+        m = smap.insert_keyframe(m, jnp.asarray(T1), 0.1, uvj1, pcj1, okj1, signs, match_pid)
+        shared = int(np.asarray(m.covis[0, 1]))
+        assert shared == int(np.asarray((match_pid >= 0)).sum())
+        assert shared > 20
+        # nobs incremented for shared points
+        assert int(np.asarray(m.pt_nobs).max()) == 2
+
+    def test_capacity_guard(self, rng):
+        cfg = KeyframeConfig(max_keyframes=2, max_map_points=64)
+        m = smap.empty_map(cfg, K)
+        pts_w = _make_world(rng, K)
+        T0 = np.eye(4, dtype=np.float32)
+        uv, pc, ok = _observe(T0, pts_w)
+        uvj, pcj, okj, signs = self._kp_arrays(rng, uv, pc, ok)
+        for _ in range(4):
+            m = smap.insert_keyframe(m, jnp.asarray(T0), 0.0, uvj, pcj, okj, signs,
+                                     jnp.full((K,), -1, jnp.int32))
+        assert int(m.n_kf) == 2  # extra inserts dropped
+        assert int(m.n_pt) <= 64
+
+    def test_local_window(self):
+        m = smap.empty_map(KCFG, K)
+        m = m.replace(n_kf=jnp.int32(5))
+        idx, valid = smap.local_window(m, 8)
+        assert list(np.asarray(valid)) == [False] * 3 + [True] * 5
+        assert list(np.asarray(idx)[3:]) == [0, 1, 2, 3, 4]
+
+
+class TestLocalBA:
+    def test_recovers_perturbed_poses_and_points(self, rng):
+        """Noisy init, exact observations -> BA returns to ground truth."""
+        W = 4
+        n_pts = 128
+        pts_w = _make_world(rng, n_pts)
+        poses_gt = []
+        T = np.eye(4, dtype=np.float32)
+        for i in range(W):
+            poses_gt.append(T.copy())
+            T = T @ np.asarray(se3.exp(jnp.asarray(
+                np.array([0.08, 0.01, 0.02, 0.01, 0.03, 0.005], np.float32))))
+        poses_gt = np.stack(poses_gt)
+
+        obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_ok = np.zeros((W, n_pts), bool)
+        for w in range(W):
+            uv, _, ok = _observe(poses_gt[w], pts_w)
+            obs_uv[w], obs_ok[w] = uv, ok
+        obs_pid = np.tile(np.arange(n_pts, dtype=np.int32), (W, 1))
+
+        # perturb everything except the gauge KF
+        poses_init = poses_gt.copy()
+        for w in range(1, W):
+            xi = rng.normal(size=6).astype(np.float32) * np.array(
+                [0.02, 0.02, 0.02, 0.01, 0.01, 0.01], np.float32)
+            poses_init[w] = poses_gt[w] @ np.asarray(se3.exp(jnp.asarray(xi)))
+        pts_init = pts_w + rng.normal(size=pts_w.shape).astype(np.float32) * 0.02
+
+        res = ba.local_ba(
+            jnp.asarray(poses_init), jnp.ones(W, bool), jnp.asarray(pts_init),
+            jnp.asarray(obs_uv), jnp.asarray(obs_pid), jnp.asarray(obs_ok),
+            CAM, BAConfig(iters=8),
+        )
+        assert int(res.n_obs) > 300  # guard against vacuous pass (all masked)
+        assert float(res.rmse_px) < 0.1, f"BA rmse {float(res.rmse_px)}"
+        for w in range(W):
+            e = np.asarray(se3.log(jnp.asarray(
+                (np.linalg.inv(poses_gt[w]) @ np.asarray(res.kf_pose[w])).astype(np.float32))))
+            assert np.linalg.norm(e[:3]) < 2e-3, f"KF{w} trans err {np.linalg.norm(e[:3])}"
+            assert np.linalg.norm(e[3:]) < 2e-3
+
+    def test_noise_reduction(self, rng):
+        """With pixel noise, BA reduces reprojection error vs. init."""
+        W = 4
+        n_pts = 128
+        pts_w = _make_world(rng, n_pts)
+        poses_gt = np.stack([np.eye(4, dtype=np.float32)] * W)
+        for w in range(1, W):
+            poses_gt[w] = poses_gt[w - 1] @ np.asarray(
+                se3.exp(jnp.asarray(np.array([0.1, 0, 0, 0, 0.02, 0], np.float32))))
+        obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_ok = np.zeros((W, n_pts), bool)
+        for w in range(W):
+            uv, _, ok = _observe(poses_gt[w], pts_w, noise=0.5, rng=rng)
+            obs_uv[w], obs_ok[w] = uv, ok
+        obs_pid = np.tile(np.arange(n_pts, dtype=np.int32), (W, 1))
+        pts_init = pts_w + rng.normal(size=pts_w.shape).astype(np.float32) * 0.03
+        res = ba.local_ba(
+            jnp.asarray(poses_gt), jnp.ones(W, bool), jnp.asarray(pts_init),
+            jnp.asarray(obs_uv), jnp.asarray(obs_pid), jnp.asarray(obs_ok),
+            CAM, BAConfig(iters=8),
+        )
+        # optimal residual ~ the injected 0.5 px noise
+        assert 0.2 < float(res.rmse_px) < 0.9
+
+    def test_gauge_fixed(self, rng):
+        W = 3
+        n_pts = 64
+        pts_w = _make_world(rng, n_pts)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * W)
+        obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_ok = np.zeros((W, n_pts), bool)
+        for w in range(W):
+            uv, _, ok = _observe(poses[w], pts_w)
+            obs_uv[w], obs_ok[w] = uv, ok
+        obs_pid = np.tile(np.arange(n_pts, dtype=np.int32), (W, 1))
+        res = ba.local_ba(
+            jnp.asarray(poses), jnp.ones(W, bool), jnp.asarray(pts_w),
+            jnp.asarray(obs_uv), jnp.asarray(obs_pid), jnp.asarray(obs_ok),
+            CAM, BAConfig(iters=3),
+        )
+        np.testing.assert_allclose(np.asarray(res.kf_pose[0]), poses[0], atol=1e-6)
+
+
+class TestPoseGraph:
+    def _chain(self, rng, n, drift=0.0):
+        """Ground-truth chain + odometry edges (optionally drifted)."""
+        gt = [np.eye(4, dtype=np.float32)]
+        edges_T = []
+        for i in range(n - 1):
+            xi = np.array([0.1, 0.02 * np.sin(i), 0, 0, 0.08, 0], np.float32)
+            D = np.asarray(se3.exp(jnp.asarray(xi)))
+            gt.append((gt[-1] @ D).astype(np.float32))
+            edges_T.append(D)
+        return np.stack(gt), edges_T
+
+    def test_consistent_chain_unchanged(self, rng):
+        M = 8
+        gt, edges_T = self._chain(rng, M)
+        e = pose_graph.EdgeList.empty(32)
+        n_e = jnp.int32(0)
+        for i, D in enumerate(edges_T):
+            e, n_e = e.add(n_e, i, i + 1, jnp.asarray(D))
+        res = pose_graph.optimize_pose_graph(jnp.asarray(gt), jnp.ones(M, bool), e, iters=5)
+        assert float(res.rmse) < 1e-5
+        np.testing.assert_allclose(np.asarray(res.poses), gt, atol=1e-4)
+
+    def test_loop_corrects_drift(self, rng):
+        """Drifted odometry + one exact loop edge -> drift distributed."""
+        M = 10
+        gt, edges_T = self._chain(rng, M)
+        # odometry with small consistent bias => estimated chain drifts
+        drift_xi = np.array([0.004, 0, 0.002, 0, 0.003, 0], np.float32)
+        Dd = np.asarray(se3.exp(jnp.asarray(drift_xi)))
+        est = [gt[0]]
+        for D in edges_T:
+            est.append((est[-1] @ D @ Dd).astype(np.float32))
+        est = np.stack(est)
+        drift0 = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+
+        e = pose_graph.EdgeList.empty(32)
+        n_e = jnp.int32(0)
+        for i, D in enumerate(edges_T):
+            e, n_e = e.add(n_e, i, i + 1, jnp.asarray(D @ Dd))  # drifted odo
+        # exact loop constraint first -> last
+        T_loop = np.linalg.inv(gt[0]) @ gt[-1]
+        e, n_e = e.add(n_e, 0, M - 1, jnp.asarray(T_loop.astype(np.float32)), weight=10.0)
+
+        res = pose_graph.optimize_pose_graph(jnp.asarray(est), jnp.ones(M, bool), e, iters=15)
+        drift1 = np.linalg.norm(np.asarray(res.poses[-1])[:3, 3] - gt[-1][:3, 3])
+        assert drift1 < 0.25 * drift0, f"drift {drift0:.4f} -> {drift1:.4f}"
+
+    def test_invalid_nodes_untouched(self, rng):
+        M = 6
+        poses = np.stack([np.eye(4, dtype=np.float32)] * M)
+        valid = np.array([True] * 4 + [False] * 2)
+        e = pose_graph.EdgeList.empty(8)
+        n_e = jnp.int32(0)
+        D = np.asarray(se3.exp(jnp.asarray([0.1, 0, 0, 0, 0, 0], dtype=jnp.float32)))
+        for i in range(3):
+            e, n_e = e.add(n_e, i, i + 1, jnp.asarray(D))
+        res = pose_graph.optimize_pose_graph(jnp.asarray(poses), jnp.asarray(valid), e, iters=3)
+        np.testing.assert_allclose(np.asarray(res.poses[4:]), poses[4:], atol=1e-7)
+
+
+class TestLoopClosure:
+    def _map_with_revisit(self, rng):
+        """Keyframes 0..7 where KF7 revisits KF0's viewpoint."""
+        m = smap.empty_map(KeyframeConfig(max_keyframes=16, max_map_points=2048), K)
+        pts_w = _make_world(rng, K)
+        signs0 = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+        poses = []
+        T = np.eye(4, dtype=np.float32)
+        for i in range(8):
+            if i == 7:
+                T = poses[0] @ np.asarray(se3.exp(jnp.asarray(
+                    np.array([0.02, 0, 0.01, 0, 0.01, 0], np.float32))))
+            poses.append(T.copy())
+            uv, pc, ok = _observe(T, pts_w)
+            # distant views don't see the points
+            if 2 <= i <= 5:
+                T = T @ np.asarray(se3.exp(jnp.asarray(
+                    np.array([0.4, 0, 0, 0, 0.5, 0], np.float32))))
+                signs = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+                ok = ok & False
+            else:
+                T = T @ np.asarray(se3.exp(jnp.asarray(
+                    np.array([0.05, 0, 0, 0, 0.02, 0], np.float32))))
+                signs = signs0 + 0
+            m = smap.insert_keyframe(
+                m, jnp.asarray(poses[-1]), float(i), jnp.asarray(uv),
+                jnp.asarray(pc), jnp.asarray(ok | (i in (2, 3, 4, 5))),
+                jnp.asarray(signs), jnp.full((K,), -1, jnp.int32))
+        return m, poses
+
+    def test_find_and_verify(self, rng):
+        m, poses = self._map_with_revisit(rng)
+        cand = loop.find_loop_candidate(m, jnp.int32(7), min_interval=3, min_score=0.15)
+        assert bool(cand.ok)
+        assert int(cand.kf_idx) in (0, 1)
+        ver = loop.verify_loop(m, jnp.int32(7), cand.kf_idx)
+        assert bool(ver.ok)
+        # T_rel maps query(7)-camera points into cand-camera coordinates:
+        # ground truth = T_cand^-1 T_7
+        T_want = np.linalg.inv(poses[int(cand.kf_idx)]) @ poses[7]
+        e = np.asarray(se3.log(jnp.asarray(
+            (np.linalg.inv(T_want) @ np.asarray(ver.T_rel)).astype(np.float32))))
+        assert np.linalg.norm(e) < 0.01
+
+    def test_no_candidate_when_recent(self, rng):
+        m, _ = self._map_with_revisit(rng)
+        cand = loop.find_loop_candidate(m, jnp.int32(3), min_interval=20)
+        assert not bool(cand.ok)
