@@ -44,10 +44,17 @@ class BAResult(NamedTuple):
     n_obs: jax.Array  # () int32 active observations
 
 
-def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_pid, obs_ok, cam):
+def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam):
     """Residuals + Jacobians for all (W, K) observations.
 
-    Returns r (W,K,2), Jc (W,K,2,6), Jx (W,K,2,3), mask (W,K).
+    RGB-D observation model: residual is 3-D — pixel reprojection (u, v)
+    plus the measured DEPTH, r_z = (z_pred - z_obs) * fx / z_obs (scaled to
+    pixel units, the RGB-D analogue of ORB-SLAM's stereo u_R residual).
+    Without the depth term, small-baseline windows are monocular-degenerate:
+    points slide along viewing rays and cameras drift centimetres while 2-D
+    reprojection stays sub-pixel.
+
+    Returns r (W,K,3), Jc (W,K,3,6), Jx (W,K,3,3), mask (W,K).
     Pose Jacobian is for a LEFT twist delta on T_cw (camera-from-world):
     p_c = exp(d) T_cw X  =>  dp_c/dd = [I | -hat(p_c)].
     """
@@ -60,20 +67,25 @@ def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_pid, obs_ok, cam):
     z_safe = jnp.maximum(z, 1e-3)
     u = cam.fx * x / z_safe + cam.cx
     v = cam.fy * y / z_safe + cam.cy
-    r = jnp.stack([u, v], axis=-1) - obs_uv  # (W, K, 2)
+    z_obs_safe = jnp.maximum(obs_z, 0.1)
+    zw = cam.fx / z_obs_safe  # metres -> pixel-equivalent units
+    r = jnp.stack(
+        [u - obs_uv[..., 0], v - obs_uv[..., 1], (z - obs_z) * zw], axis=-1
+    )  # (W, K, 3)
 
-    mask = obs_ok & (obs_pid >= 0) & (z > 0.05)
+    mask = obs_ok & (obs_pid >= 0) & (z > 0.05) & (obs_z > 0.05)
 
-    # d(u,v)/d p_c
+    # d(u,v,rz)/d p_c
     fx, fy = cam.fx, cam.fy
     zero = jnp.zeros_like(z_safe)
     duv_dp = jnp.stack(
         [
             jnp.stack([fx / z_safe, zero, -fx * x / (z_safe * z_safe)], axis=-1),
             jnp.stack([zero, fy / z_safe, -fy * y / (z_safe * z_safe)], axis=-1),
+            jnp.stack([zero, zero, zw], axis=-1),
         ],
         axis=-2,
-    )  # (W, K, 2, 3)
+    )  # (W, K, 3, 3)
 
     # dp_c/dd for left twist on T_cw: [I | -hat(p_c)]
     def hat_batch(p):
@@ -107,32 +119,67 @@ def local_ba(
     window_valid: jax.Array,  # (W,) bool
     pt_xyz: jax.Array,  # (P, 3) all map points (world)
     obs_uv: jax.Array,  # (W, K, 2) observed pixels
+    obs_z: jax.Array,  # (W, K) measured depth at observation (metres)
     obs_pid: jax.Array,  # (W, K) int32 point ids (-1 none)
     obs_ok: jax.Array,  # (W, K) bool
     cam: CameraIntrinsics,
     cfg: BAConfig,
+    free_mask: jax.Array | None = None,  # (W,) bool — poses to optimize
 ) -> BAResult:
-    """Gauss-Newton local BA over a fixed window; first valid KF is gauge.
+    """Gauss-Newton local BA over a fixed camera set.
 
-    Points outside the window's observations are untouched. Runs
-    `cfg.iters` fixed iterations (static); Huber on the pixel residual.
+    Cameras with `free_mask` False (plus a gauge anchor) contribute
+    residuals — constraining the points — but their poses do not move.
+    Passing older covisible keyframes as fixed observers is what keeps
+    repeated local BA from sliding shared structure: without them the
+    window + its points form a nearly-gauge-free subproblem. When
+    `free_mask` is None every valid camera except the first is free.
+
+    Points outside the camera set's observations are untouched. Runs
+    `cfg.iters` fixed iterations (static); Huber + hard gate on pixels.
     """
     W, K = obs_pid.shape
     P = pt_xyz.shape[0]
     D = 6 * W
 
     obs_ok = obs_ok & window_valid[:, None]
-    # gauge: fix the first valid window slot
-    first_valid = jnp.argmax(window_valid)  # index of first True
-    cam_free = window_valid & (jnp.arange(W) != first_valid)
+    if free_mask is None:
+        free_mask = window_valid
+    # gauge: ensure at least one valid camera is anchored — if every valid
+    # camera is free, pin the first valid one.
+    first_valid = jnp.argmax(window_valid)
+    any_fixed_valid = jnp.any(window_valid & ~free_mask)
+    cam_free = window_valid & free_mask & (
+        any_fixed_valid | (jnp.arange(W) != first_valid)
+    )
 
-    def gn_iter(_, state):
-        poses, X = state
-        r, Jc, Jx, mask = _reproj_residuals(poses, X, obs_uv, obs_pid, obs_ok, cam)
-        # Huber weights on residual norm (pixels)
+    # Robust kernel: Tukey biweight (redescending). Huber's linear tail let
+    # a few hundred 3-6 px wrong-association/bad-depth observations outvote
+    # thousands of sub-pixel inliers — BA would *improve* its cost while
+    # dragging cameras ~10 cm. Tukey gives outliers asymptotically zero
+    # influence, so the dense consensus wins.
+    c_tukey = cfg.reject_px
+
+    def _tukey_weight(rn):
+        t = jnp.clip(rn / c_tukey, 0.0, 1.0)
+        return (1.0 - t * t) ** 2
+
+    def _cost(poses, X):
+        """Tukey rho-cost over observations (for LM accept/reject)."""
+        r, _, _, mask = _reproj_residuals(poses, X, obs_uv, obs_z, obs_pid, obs_ok, cam)
         rn = jnp.linalg.norm(r, axis=-1)
-        w = jnp.where(rn <= cfg.huber_delta_px, 1.0, cfg.huber_delta_px / jnp.maximum(rn, 1e-9))
+        t2 = jnp.clip((rn / c_tukey) ** 2, 0.0, 1.0)
+        rho = (c_tukey * c_tukey / 6.0) * (1.0 - (1.0 - t2) ** 3)
+        return jnp.sum(jnp.where(mask, rho, 0.0))
+
+    def lm_iter(_, state):
+        poses, X, lam, cost = state
+        r, Jc, Jx, mask = _reproj_residuals(poses, X, obs_uv, obs_z, obs_pid, obs_ok, cam)
+        # Tukey IRLS weights (zero beyond c_tukey — hard gate included)
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = _tukey_weight(rn)
         w = jnp.where(mask, w, 0.0)  # (W, K)
+        mask = mask & (w > 0.0)
 
         pid_safe = jnp.where(mask, obs_pid, P)  # scatter dump slot P
 
@@ -146,8 +193,7 @@ def local_ba(
         # Damped inverse of each 3x3 block. Damping must be RELATIVE to the
         # block scale: a point seen once gives a rank-2 block with entries
         # ~1e3-1e4, and an absolute 1e-4 shift is below float32 resolution
-        # there (LU pivot underflows to NaN).
-        lam = cfg.damping
+        # there (LU pivot underflows to NaN). `lam` is the live LM damping.
         tr = (Hpp[:, 0, 0] + Hpp[:, 1, 1] + Hpp[:, 2, 2]) / 3.0
         Hpp = Hpp + (lam * tr + 1e-5)[:, None, None] * jnp.eye(3)[None]
         Hpp_inv = jnp.linalg.inv(Hpp)
@@ -186,7 +232,12 @@ def local_ba(
         )
         b = jnp.where(free, b, 0.0)
 
-        dc = jnp.linalg.solve(S, b)  # (D,)
+        # Jacobi preconditioning: the raw Schur system mixes rotation
+        # (~1e6) and translation (~1e3) scales; float32 LU on it produces
+        # garbage steps on real observation patterns.
+        d_scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-8))
+        S_hat = S * d_scale[:, None] * d_scale[None, :]
+        dc = jnp.linalg.solve(S_hat, b * d_scale) * d_scale  # (D,)
         dc_blocks = dc.reshape(W, 6)
 
         # back-substitute points: dp = Hpp^-1 (-gp - A^T dc)
@@ -202,12 +253,22 @@ def local_ba(
 
         poses_new = jax.vmap(apply_one)(poses, dc_blocks, cam_free)
         X_new = X + dp
-        return (poses_new, X_new)
 
-    poses_out, X_out = jax.lax.fori_loop(0, cfg.iters, gn_iter, (poses_wc, pt_xyz))
+        # LM accept/reject: keep the step only if the Huber cost drops.
+        cost_new = _cost(poses_new, X_new)
+        step_finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+        accept = (cost_new < cost) & step_finite
+        poses_out = jnp.where(accept, poses_new, poses)
+        X_out = jnp.where(accept, X_new, X)
+        cost_out = jnp.where(accept, cost_new, cost)
+        lam_out = jnp.clip(jnp.where(accept, lam * 0.3, lam * 8.0), 1e-6, 1e3)
+        return (poses_out, X_out, lam_out, cost_out)
+
+    init = (poses_wc, pt_xyz, jnp.float32(cfg.damping), _cost(poses_wc, pt_xyz))
+    poses_out, X_out, _, _ = jax.lax.fori_loop(0, cfg.iters, lm_iter, init)
 
     # final stats
-    r, _, _, mask = _reproj_residuals(poses_out, X_out, obs_uv, obs_pid, obs_ok, cam)
+    r, _, _, mask = _reproj_residuals(poses_out, X_out, obs_uv, obs_z, obs_pid, obs_ok, cam)
     rn2 = jnp.sum(r * r, axis=-1)
     n = jnp.sum(mask)
     rmse = jnp.sqrt(jnp.sum(jnp.where(mask, rn2, 0.0)) / jnp.maximum(n, 1))

@@ -133,6 +133,9 @@ class BAConfig:
     max_points_per_window: int = 2048
     iters: int = 5
     huber_delta_px: float = 2.0
+    # Observations with residual above this are hard-dropped each iteration
+    # (outlier gate; Huber alone still lets aliased matches bias the solve).
+    reject_px: float = 6.0
     damping: float = 1e-4
     # Pose graph
     pg_iters: int = 10

@@ -205,7 +205,8 @@ def detect_pyramid(
     for l, img in enumerate(pyr):
         uv, resp, valid = detect_level(img, budgets[l], threshold, min_threshold)
         s = scale_factor**l
-        uvs.append(uv * s)  # back to level-0 coords
+        # pixel-center convention: u0 = (u_l + 0.5) * s - 0.5
+        uvs.append((uv + 0.5) * s - 0.5)
         resps.append(resp)
         angles.append(jnp.zeros(budgets[l], jnp.float32))
         levels.append(jnp.full(budgets[l], l, jnp.int32))

@@ -121,9 +121,9 @@ def describe(
     patches = jnp.zeros((K, PATCH, PATCH), jnp.float32)
     for l, img in enumerate(sm):
         s = scale_factor**l
-        # keypoint position in this level's pixel coords
-        u = kp.uv[:, 0] / s
-        v = kp.uv[:, 1] / s
+        # keypoint position in this level's pixel coords (pixel-center conv.)
+        u = (kp.uv[:, 0] + 0.5) / s - 0.5
+        v = (kp.uv[:, 1] + 0.5) / s - 0.5
         pu = u[:, None, None] + gx[None]
         pv = v[:, None, None] + gy[None]
         vals = _gather_bilinear(img, pu.reshape(-1), pv.reshape(-1)).reshape(K, PATCH, PATCH)
@@ -169,16 +169,30 @@ def describe(
     return Descriptors(packed=packed, signs=signs, angle=theta)
 
 
-def keypoint_depth(kp: Keypoints, depth_m: jax.Array, cam) -> tuple[jax.Array, jax.Array]:
+def keypoint_depth(
+    kp: Keypoints, depth_m: jax.Array, cam, edge_rel_tol: float = 0.06
+) -> tuple[jax.Array, jax.Array]:
     """3D camera-frame points for keypoints from the depth map.
 
-    Returns ((K, 3) points, (K,) valid). Nearest-pixel depth lookup with
-    range gating — mirrors how RGB-D ORB systems lift features to 3D.
+    Returns ((K, 3) points, (K,) valid). Corners frequently sit ON depth
+    discontinuities (object silhouettes), where the depth pixel may belong
+    to either surface — such keypoints would spawn garbage map points, so
+    any keypoint whose 3x3 depth window spans more than `edge_rel_tol * z`
+    (or contains invalid depth) is rejected.
     """
-    u = jnp.clip(jnp.round(kp.uv[:, 0]).astype(jnp.int32), 0, depth_m.shape[1] - 1)
-    v = jnp.clip(jnp.round(kp.uv[:, 1]).astype(jnp.int32), 0, depth_m.shape[0] - 1)
+    h, w = depth_m.shape
+    u = jnp.clip(jnp.round(kp.uv[:, 0]).astype(jnp.int32), 1, w - 2)
+    v = jnp.clip(jnp.round(kp.uv[:, 1]).astype(jnp.int32), 1, h - 2)
     z = depth_m[v, u]
-    ok = kp.valid & (z > cam.min_depth) & (z < cam.max_depth)
+    zmin = jnp.full_like(z, jnp.inf)
+    zmax = jnp.zeros_like(z)
+    for dv in (-1, 0, 1):
+        for du in (-1, 0, 1):
+            zn = depth_m[v + dv, u + du]
+            zmin = jnp.minimum(zmin, zn)
+            zmax = jnp.maximum(zmax, zn)
+    flat = (zmin > 0) & ((zmax - zmin) < edge_rel_tol * jnp.maximum(z, 0.3))
+    ok = kp.valid & (z > cam.min_depth) & (z < cam.max_depth) & flat
     x = (kp.uv[:, 0] - cam.cx) * z / cam.fx
     y = (kp.uv[:, 1] - cam.cy) * z / cam.fy
     pts = jnp.stack([x, y, z], axis=-1)

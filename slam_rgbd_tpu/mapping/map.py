@@ -191,31 +191,52 @@ def insert_keyframe(
     return jax.lax.cond(room, write, lambda s: s, m)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("cam",))
 def match_against_map(
     m: MapState,
     signs: jax.Array,  # (K, 256) int8 query descriptors
     ok: jax.Array,  # (K,) bool
-    pts_world_guess: jax.Array,  # (K, 3) world-frame guesses for gating
-    radius: float = 0.25,
+    kp_uv: jax.Array,  # (K, 2) query keypoint pixels
+    kp_z: jax.Array,  # (K,) query keypoint depths (camera frame)
+    T_world_cam: jax.Array,  # (4, 4) current pose estimate
+    cam=None,  # CameraIntrinsics (static)
+    px_radius: float = 6.0,
+    z_rel_tol: float = 0.08,
     max_distance: float = 64.0,
 ) -> jax.Array:
     """Associate query keypoints to existing map points.
 
-    Hamming matching (one MXU matmul against ALL P map points) gated by a
-    3D distance check against the query's world-position guess. Returns
-    (K,) int32 map-point ids, -1 where unmatched.
+    Hamming matching (one MXU matmul against ALL P map points) gated by
+    REPROJECTION distance: each map point is projected into the query frame
+    with the current pose, and a match requires pixel distance < px_radius
+    plus relative depth agreement. (A metric 3D-radius gate is far looser
+    than a pixel gate at range and let aliased corners of repetitive
+    texture poison BA.) Returns (K,) int32 map-point ids, -1 if unmatched.
     """
     from slam_rgbd_tpu.features.match import hamming_matrix
 
+    # project all map points into the query camera
+    T_cw = jnp.linalg.inv(T_world_cam)
+    p_c = m.pt_xyz @ T_cw[:3, :3].T + T_cw[:3, 3]  # (P, 3)
+    z = p_c[:, 2]
+    z_safe = jnp.maximum(z, 1e-6)
+    pu = cam.fx * p_c[:, 0] / z_safe + cam.cx
+    pv = cam.fy * p_c[:, 1] / z_safe + cam.cy
+    proj_ok = m.pt_valid & (z > cam.min_depth) & (z < cam.max_depth)
+
     d = hamming_matrix(signs, m.pt_signs)  # (K, P)
     big = jnp.float32(1e9)
-    d = jnp.where(ok[:, None] & m.pt_valid[None, :], d, big)
-    # 3D gating
-    dist3 = jnp.linalg.norm(
-        pts_world_guess[:, None, :] - m.pt_xyz[None, :, :], axis=-1
+    d = jnp.where(ok[:, None] & proj_ok[None, :], d, big)
+    # pixel gate
+    du = kp_uv[:, 0:1] - pu[None, :]
+    dv = kp_uv[:, 1:2] - pv[None, :]
+    d = jnp.where(du * du + dv * dv < px_radius * px_radius, d, big)
+    # depth-consistency gate
+    z_ok = jnp.abs(kp_z[:, None] - z[None, :]) < z_rel_tol * jnp.maximum(
+        kp_z[:, None], 0.3
     )
-    d = jnp.where(dist3 < radius, d, big)
+    d = jnp.where(z_ok, d, big)
+
     best = jnp.argmin(d, axis=1)
     best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
     return jnp.where(best_d < max_distance, best.astype(jnp.int32), -1)

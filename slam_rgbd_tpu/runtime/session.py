@@ -1,0 +1,362 @@
+"""SLAM session — the orchestrator (reference `main.c` + SLAM.cpp analogue).
+
+Host-side control loop around jitted device programs:
+
+    frame -> pyramid -> ICP track (dense, every frame)
+          -> keyframe decision -> [features -> map match -> insert
+          -> local BA -> loop detect/verify -> pose graph]    (on KF only)
+
+Capability parity with the reference orchestration:
+  * lifecycle + health gates + watchdog heartbeat (`main.c:247-342`),
+  * bounded ingest with drop policy (`SLAM.cpp:162-168`) via
+    `io.stream.BoundedFrameQueue` when run threaded,
+  * reset (`SLAM.cpp:220-228` -> `reset()`),
+  * trajectory + keyframe-trajectory export in TUM format
+    (`SLAM.cpp:177-198` -> `save_trajectory*`),
+  * map-point count (`SLAM.cpp:204-218` -> `map_point_count`).
+
+Tracking quality is monitored through ICP inlier fraction; a lost track
+triggers relocalization against the map (descriptor matching + 3D-3D
+solve), mirroring the recovery behavior the reference's sensor layer has
+for device errors (`sensorModule.c:216-239`).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_rgbd_tpu.backend import ba as ba_mod
+from slam_rgbd_tpu.backend import loop as loop_mod
+from slam_rgbd_tpu.backend import pose_graph as pg_mod
+from slam_rgbd_tpu.core import camera, se3
+from slam_rgbd_tpu.core.config import SLAMConfig
+from slam_rgbd_tpu.eval.trajectory import save_trajectory_tum
+from slam_rgbd_tpu.features import detect as fdetect
+from slam_rgbd_tpu.features import match as fmatch
+from slam_rgbd_tpu.features import orb as forb
+from slam_rgbd_tpu.mapping import map as smap
+from slam_rgbd_tpu.odometry.icp import track_frame
+
+log = logging.getLogger("slam_rgbd_tpu.session")
+
+
+@dataclass
+class FrameStats:
+    timestamp: float
+    track_ms: float
+    inlier_fraction: float
+    icp_rmse: float
+    is_keyframe: bool
+    tracking_ok: bool
+    ba_rmse_px: float = 0.0
+    loop_closed: bool = False
+
+
+@dataclass
+class SessionState:
+    """Host-visible session status (watchdog reads this)."""
+
+    frames: int = 0
+    keyframes: int = 0
+    loops: int = 0
+    lost: int = 0
+    relocalized: int = 0
+    last_heartbeat: float = field(default_factory=time.monotonic)
+    running: bool = True
+
+
+class SLAMSession:
+    """Single-device RGB-D SLAM session.
+
+    Call `process_frame(ts, depth_raw, rgb)` per frame; read `poses()` /
+    `keyframe_poses()` / `stats` afterward. All device programs are jitted
+    once — shapes are fixed by the config.
+    """
+
+    def __init__(self, config: SLAMConfig):
+        self.cfg = config
+        cam = config.camera
+        self.n_kp = config.orb.n_features
+        self.map = smap.empty_map(config.keyframes, self._kp_capacity())
+        self.edges = pg_mod.EdgeList.empty(4 * config.keyframes.max_keyframes)
+        self.n_edges = jnp.int32(0)
+        self.state = SessionState()
+
+        self.T_world = jnp.eye(4)
+        self.motion = jnp.eye(4)
+        self.prev_pyr = None
+        self.last_kf_T = None
+        self.last_kf_idx = -1
+        self.tracking_ok = True
+
+        self._traj_ts: list[float] = []
+        self._traj_T: list[np.ndarray] = []
+        self._frame_kf_idx: list[int] = []  # last KF index per frame
+        self._kf_T_at_frame: list[np.ndarray] = []  # that KF's pose when logged
+        self.stats: list[FrameStats] = []
+
+    # ------------------------------------------------------------------ utils
+    def _kp_capacity(self) -> int:
+        """Total keypoint slots after per-level budget rounding."""
+        budgets = fdetect._per_level_budget(
+            self.cfg.orb.n_features, self.cfg.orb.n_levels, self.cfg.orb.scale_factor
+        )
+        return sum(budgets)
+
+    def _pyramid(self, depth_raw, rgb):
+        return camera.build_frame_pyramid(
+            jnp.asarray(depth_raw), self.cfg.camera, levels=self.cfg.icp.levels,
+            rgb=jnp.asarray(rgb),
+        )
+
+    def _features(self, depth_raw, rgb):
+        intensity = camera.rgb_to_intensity(jnp.asarray(rgb)) / 255.0
+        kp, pyr = fdetect.detect_pyramid(
+            intensity,
+            n_features=self.cfg.orb.n_features,
+            n_levels=self.cfg.orb.n_levels,
+            scale_factor=self.cfg.orb.scale_factor,
+            threshold=self.cfg.orb.fast_threshold,
+            min_threshold=self.cfg.orb.fast_min_threshold,
+        )
+        desc = forb.describe(kp, pyr, self.cfg.orb.scale_factor)
+        depth_m = camera.depth_to_metres(jnp.asarray(depth_raw), self.cfg.camera)
+        pts, ok = forb.keypoint_depth(kp, depth_m, self.cfg.camera)
+        return kp, desc, pts, ok & kp.valid
+
+    # ------------------------------------------------------------- main loop
+    def process_frame(self, ts: float, depth_raw: np.ndarray, rgb: np.ndarray) -> FrameStats:
+        t0 = time.monotonic()
+        pyr = self._pyramid(depth_raw, rgb)
+
+        if self.prev_pyr is None:
+            # first frame: bootstrap a keyframe at the origin — unless we
+            # restored from a checkpoint, where only the tracking reference
+            # needs re-anchoring.
+            st = FrameStats(ts, 0.0, 1.0, 0.0, True, True)
+            if int(self.map.n_kf) == 0:
+                self._insert_keyframe(ts, depth_raw, rgb)
+            self.prev_pyr = pyr
+            self._log_pose(ts)
+            self._finish(st, t0)
+            return st
+
+        self.T_world, self.motion, res = track_frame(
+            self.prev_pyr, pyr, self.T_world, self.motion,
+            self.cfg.camera, self.cfg.icp,
+        )
+        vf = float(res.valid_fraction)
+        tracking_ok = vf > 0.25 and bool(np.isfinite(np.asarray(self.T_world)).all())
+        st = FrameStats(ts, 0.0, vf, float(res.rmse), False, tracking_ok)
+
+        if not tracking_ok:
+            self.state.lost += 1
+            log.warning("tracking lost at t=%.3f (inliers %.2f) — relocalizing", ts, vf)
+            if self._relocalize(depth_raw, rgb):
+                self.state.relocalized += 1
+                st.tracking_ok = True
+                self.motion = jnp.eye(4)
+            # on failed reloc we keep integrating (odometry-only fallback)
+
+        if st.tracking_ok and self._should_insert(vf):
+            st.is_keyframe = True
+            kf_stats = self._insert_keyframe(ts, depth_raw, rgb)
+            st.ba_rmse_px = kf_stats.get("ba_rmse", 0.0)
+            st.loop_closed = kf_stats.get("loop", False)
+
+        self.prev_pyr = pyr
+        self._log_pose(ts)
+        self._finish(st, t0)
+        return st
+
+    def _finish(self, st: FrameStats, t0: float):
+        st.track_ms = (time.monotonic() - t0) * 1e3
+        self.state.frames += 1
+        self.state.last_heartbeat = time.monotonic()
+        self.stats.append(st)
+
+    def _log_pose(self, ts: float):
+        self._traj_ts.append(ts)
+        self._traj_T.append(np.asarray(self.T_world))
+        self._frame_kf_idx.append(self.last_kf_idx)
+        self._kf_T_at_frame.append(
+            np.asarray(self.map.kf_pose[self.last_kf_idx])
+            if self.last_kf_idx >= 0 else np.eye(4, dtype=np.float32)
+        )
+
+    def _should_insert(self, inlier_ratio: float) -> bool:
+        return bool(
+            smap.should_insert_keyframe(
+                self.T_world, self.last_kf_T, jnp.float32(inlier_ratio),
+                self.cfg.keyframes,
+            )
+        )
+
+    # -------------------------------------------------------------- keyframe
+    def _insert_keyframe(self, ts, depth_raw, rgb) -> dict:
+        out: dict = {}
+        kp, desc, pts, ok = self._features(depth_raw, rgb)
+
+        # associate against the map (reprojection + depth gates)
+        if int(self.map.n_kf) > 0:
+            match_pid = smap.match_against_map(
+                self.map, desc.signs, ok, kp.uv, pts[:, 2], self.T_world,
+                cam=self.cfg.camera,
+                max_distance=float(self.cfg.orb.match_threshold),
+            )
+        else:
+            match_pid = jnp.full((pts.shape[0],), -1, jnp.int32)
+
+        prev_kf_idx = self.last_kf_idx
+        self.map = smap.insert_keyframe(
+            self.map, self.T_world, jnp.float32(ts), kp.uv, pts, ok,
+            desc.signs, match_pid,
+        )
+        kf_idx = int(self.map.n_kf) - 1
+        self.last_kf_idx = kf_idx
+        self.last_kf_T = self.map.kf_pose[kf_idx]
+        self.state.keyframes += 1
+
+        # odometry edge between consecutive keyframes
+        if prev_kf_idx >= 0:
+            T_rel = se3.inverse(self.map.kf_pose[prev_kf_idx]) @ self.T_world
+            self.edges, self.n_edges = self.edges.add(
+                self.n_edges, prev_kf_idx, kf_idx, T_rel, weight=1.0
+            )
+
+        # local BA over the sliding window
+        if int(self.map.n_kf) >= 3:
+            out["ba_rmse"] = self._run_local_ba()
+
+        # loop closure attempt
+        if int(self.map.n_kf) > self.cfg.ba.loop_min_interval:
+            out["loop"] = self._try_loop_closure(kf_idx)
+
+        return out
+
+    def _run_local_ba(self) -> float:
+        # Camera set = last 2*window KFs; only the newest `window` poses are
+        # free. The older half are fixed observers anchoring shared points
+        # (without them repeated local BA slides the recent structure).
+        w = self.cfg.ba.window
+        idx, valid = smap.local_window(self.map, 2 * w)
+        free = jnp.arange(2 * w) >= w
+        res = ba_mod.local_ba(
+            self.map.kf_pose[idx], valid, self.map.pt_xyz,
+            self.map.kp_uv[idx], self.map.kp_pts[idx][..., 2],
+            self.map.point_id[idx],
+            self.map.kp_ok[idx] & valid[:, None],
+            self.cfg.camera, self.cfg.ba, free_mask=free,
+        )
+        # write back + propagate the last-KF correction to the live pose
+        T_last_old = self.map.kf_pose[self.last_kf_idx]
+        poses = self.map.kf_pose.at[idx].set(
+            jnp.where(valid[:, None, None], res.kf_pose, self.map.kf_pose[idx])
+        )
+        self.map = self.map.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
+        T_last_new = self.map.kf_pose[self.last_kf_idx]
+        correction = T_last_new @ se3.inverse(T_last_old)
+        self.T_world = se3.normalize_rotation(correction @ self.T_world)
+        self.last_kf_T = T_last_new
+        return float(res.rmse_px)
+
+    def _try_loop_closure(self, kf_idx: int) -> bool:
+        cand = loop_mod.find_loop_candidate(
+            self.map, jnp.int32(kf_idx),
+            min_interval=self.cfg.ba.loop_min_interval,
+            min_score=self.cfg.ba.loop_min_score,
+        )
+        if not bool(cand.ok):
+            return False
+        ver = loop_mod.verify_loop(self.map, jnp.int32(kf_idx), cand.kf_idx)
+        if not bool(ver.ok):
+            return False
+        # Edge cand -> query with measured relative pose:
+        # T_rel maps query-cam coords into cand-cam coords, i.e.
+        # T_cand_query = T_cand^-1 T_query => edge T_meas(cand->query).
+        self.edges, self.n_edges = self.edges.add(
+            self.n_edges, int(cand.kf_idx), kf_idx, ver.T_rel, weight=5.0
+        )
+        log.info("loop closed: KF%d -> KF%d (%d inliers)", kf_idx, int(cand.kf_idx),
+                 int(ver.inliers))
+        self.state.loops += 1
+        self._run_pose_graph()
+        return True
+
+    def _run_pose_graph(self):
+        T_last_old = self.map.kf_pose[self.last_kf_idx]
+        res = pg_mod.optimize_pose_graph(
+            self.map.kf_pose, self.map.kf_valid, self.edges,
+            iters=self.cfg.ba.pg_iters, damping=self.cfg.ba.pg_damping,
+        )
+        self.map = self.map.replace(kf_pose=res.poses)
+        T_last_new = self.map.kf_pose[self.last_kf_idx]
+        correction = T_last_new @ se3.inverse(T_last_old)
+        self.T_world = se3.normalize_rotation(correction @ self.T_world)
+        self.last_kf_T = T_last_new
+
+    # ---------------------------------------------------------- reloc/reset
+    def _relocalize(self, depth_raw, rgb) -> bool:
+        """Match current features against all map points; solve 3D-3D."""
+        if int(self.map.n_kf) == 0:
+            return False
+        kp, desc, pts, ok = self._features(depth_raw, rgb)
+        m = fmatch.match(
+            desc.signs, ok, self.map.pt_signs.astype(jnp.int8), self.map.pt_valid,
+            max_distance=float(self.cfg.orb.match_threshold),
+        )
+        from slam_rgbd_tpu.features.pose3d import solve_pose3d
+
+        target = self.map.pt_xyz[m.idx2]
+        res = solve_pose3d(pts, target, m.valid & ok, iters=8)
+        if bool(res.ok):
+            # res.T maps camera-frame pts onto world points => T_world_cam
+            self.T_world = se3.normalize_rotation(res.T)
+            log.info("relocalized with %d inliers", int(res.inliers))
+            return True
+        return False
+
+    def reset(self):
+        """Full system reset (`resetSlam` parity, `SLAM.cpp:220-228`)."""
+        self.__init__(self.cfg)
+
+    # -------------------------------------------------------------- outputs
+    def poses(self) -> tuple[np.ndarray, np.ndarray]:
+        """(timestamps (n,), camera trajectory (n, 4, 4)) — loop-corrected.
+
+        Each frame pose is re-anchored to its reference keyframe's CURRENT
+        (optimized) pose: T = T_kf_now @ (T_kf_then^-1 @ T_frame_then).
+        """
+        ts = np.asarray(self._traj_ts)
+        out = []
+        kf_pose_now = np.asarray(self.map.kf_pose)
+        for T, kf_i, T_kf_then in zip(self._traj_T, self._frame_kf_idx, self._kf_T_at_frame):
+            if kf_i >= 0:
+                out.append(kf_pose_now[kf_i] @ np.linalg.inv(T_kf_then) @ T)
+            else:
+                out.append(T)
+        return ts, np.stack(out) if out else np.zeros((0, 4, 4))
+
+    def keyframe_poses(self) -> tuple[np.ndarray, np.ndarray]:
+        n = int(self.map.n_kf)
+        return (np.asarray(self.map.kf_time[:n]), np.asarray(self.map.kf_pose[:n]))
+
+    def map_point_count(self) -> int:
+        return int(smap.map_point_count(self.map))
+
+    def save_trajectory(self, path: str):
+        """TUM-format full trajectory (`SaveTrajectoryTUM` parity)."""
+        ts, T = self.poses()
+        save_trajectory_tum(path, ts, T)
+
+    def save_keyframe_trajectory(self, path: str):
+        """TUM-format keyframe trajectory (`SaveKeyFrameTrajectoryTUM`)."""
+        ts, T = self.keyframe_poses()
+        save_trajectory_tum(path, ts, T)

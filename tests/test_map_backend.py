@@ -119,10 +119,11 @@ class TestLocalBA:
         poses_gt = np.stack(poses_gt)
 
         obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_z = np.zeros((W, n_pts), np.float32)
         obs_ok = np.zeros((W, n_pts), bool)
         for w in range(W):
-            uv, _, ok = _observe(poses_gt[w], pts_w)
-            obs_uv[w], obs_ok[w] = uv, ok
+            uv, pc, ok = _observe(poses_gt[w], pts_w)
+            obs_uv[w], obs_z[w], obs_ok[w] = uv, pc[:, 2], ok
         obs_pid = np.tile(np.arange(n_pts, dtype=np.int32), (W, 1))
 
         # perturb everything except the gauge KF
@@ -135,8 +136,8 @@ class TestLocalBA:
 
         res = ba.local_ba(
             jnp.asarray(poses_init), jnp.ones(W, bool), jnp.asarray(pts_init),
-            jnp.asarray(obs_uv), jnp.asarray(obs_pid), jnp.asarray(obs_ok),
-            CAM, BAConfig(iters=8),
+            jnp.asarray(obs_uv), jnp.asarray(obs_z), jnp.asarray(obs_pid),
+            jnp.asarray(obs_ok), CAM, BAConfig(iters=8),
         )
         assert int(res.n_obs) > 300  # guard against vacuous pass (all masked)
         assert float(res.rmse_px) < 0.1, f"BA rmse {float(res.rmse_px)}"
@@ -156,16 +157,17 @@ class TestLocalBA:
             poses_gt[w] = poses_gt[w - 1] @ np.asarray(
                 se3.exp(jnp.asarray(np.array([0.1, 0, 0, 0, 0.02, 0], np.float32))))
         obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_z = np.zeros((W, n_pts), np.float32)
         obs_ok = np.zeros((W, n_pts), bool)
         for w in range(W):
-            uv, _, ok = _observe(poses_gt[w], pts_w, noise=0.5, rng=rng)
-            obs_uv[w], obs_ok[w] = uv, ok
+            uv, pc, ok = _observe(poses_gt[w], pts_w, noise=0.5, rng=rng)
+            obs_uv[w], obs_z[w], obs_ok[w] = uv, pc[:, 2], ok
         obs_pid = np.tile(np.arange(n_pts, dtype=np.int32), (W, 1))
         pts_init = pts_w + rng.normal(size=pts_w.shape).astype(np.float32) * 0.03
         res = ba.local_ba(
             jnp.asarray(poses_gt), jnp.ones(W, bool), jnp.asarray(pts_init),
-            jnp.asarray(obs_uv), jnp.asarray(obs_pid), jnp.asarray(obs_ok),
-            CAM, BAConfig(iters=8),
+            jnp.asarray(obs_uv), jnp.asarray(obs_z), jnp.asarray(obs_pid),
+            jnp.asarray(obs_ok), CAM, BAConfig(iters=8),
         )
         # optimal residual ~ the injected 0.5 px noise
         assert 0.2 < float(res.rmse_px) < 0.9
@@ -176,15 +178,16 @@ class TestLocalBA:
         pts_w = _make_world(rng, n_pts)
         poses = np.stack([np.eye(4, dtype=np.float32)] * W)
         obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_z = np.zeros((W, n_pts), np.float32)
         obs_ok = np.zeros((W, n_pts), bool)
         for w in range(W):
-            uv, _, ok = _observe(poses[w], pts_w)
-            obs_uv[w], obs_ok[w] = uv, ok
+            uv, pc, ok = _observe(poses[w], pts_w)
+            obs_uv[w], obs_z[w], obs_ok[w] = uv, pc[:, 2], ok
         obs_pid = np.tile(np.arange(n_pts, dtype=np.int32), (W, 1))
         res = ba.local_ba(
             jnp.asarray(poses), jnp.ones(W, bool), jnp.asarray(pts_w),
-            jnp.asarray(obs_uv), jnp.asarray(obs_pid), jnp.asarray(obs_ok),
-            CAM, BAConfig(iters=3),
+            jnp.asarray(obs_uv), jnp.asarray(obs_z), jnp.asarray(obs_pid),
+            jnp.asarray(obs_ok), CAM, BAConfig(iters=3),
         )
         np.testing.assert_allclose(np.asarray(res.kf_pose[0]), poses[0], atol=1e-6)
 
