@@ -113,7 +113,7 @@ def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam):
     return r, Jc, Jx, mask
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "psum_axis"))
 def local_ba(
     poses_wc: jax.Array,  # (W, 4, 4) window keyframe poses (cam->world)
     window_valid: jax.Array,  # (W,) bool
@@ -125,6 +125,7 @@ def local_ba(
     cam: CameraIntrinsics,
     cfg: BAConfig,
     free_mask: jax.Array | None = None,  # (W,) bool — poses to optimize
+    psum_axis: str | None = None,  # set under shard_map: observation axis
 ) -> BAResult:
     """Gauss-Newton local BA over a fixed camera set.
 
@@ -141,6 +142,14 @@ def local_ba(
     W, K = obs_pid.shape
     P = pt_xyz.shape[0]
     D = 6 * W
+
+    def _r(x):
+        """Complete an observation-reduction. Under shard_map each device
+        holds a K/n slice of the observation grid, so every sum over
+        observations must finish with a psum over `psum_axis` — this is
+        the whole distributed-BA assembly (BASELINE.json): partial
+        Hpp/gp/A/Hcc blocks meet on ICI, the small solve is replicated."""
+        return x if psum_axis is None else jax.lax.psum(x, psum_axis)
 
     obs_ok = obs_ok & window_valid[:, None]
     if free_mask is None:
@@ -170,7 +179,7 @@ def local_ba(
         rn = jnp.linalg.norm(r, axis=-1)
         t2 = jnp.clip((rn / c_tukey) ** 2, 0.0, 1.0)
         rho = (c_tukey * c_tukey / 6.0) * (1.0 - (1.0 - t2) ** 3)
-        return jnp.sum(jnp.where(mask, rho, 0.0))
+        return _r(jnp.sum(jnp.where(mask, rho, 0.0)))
 
     def lm_iter(_, state):
         poses, X, lam, cost = state
@@ -186,9 +195,11 @@ def local_ba(
         # --- point blocks: Hpp (P, 3, 3), gp (P, 3) ------------------------
         JxT_Jx = jnp.einsum("wkab,wkac->wkbc", Jx, Jx * w[..., None, None])
         JxT_r = jnp.einsum("wkab,wka->wkb", Jx * w[..., None, None], r)
-        Hpp = jnp.zeros((P + 1, 3, 3)).at[pid_safe].add(JxT_Jx)[:P]
-        gp = jnp.zeros((P + 1, 3)).at[pid_safe].add(JxT_r)[:P]
-        observed = jnp.zeros((P + 1,), bool).at[pid_safe].set(True)[:P]
+        Hpp = _r(jnp.zeros((P + 1, 3, 3)).at[pid_safe].add(JxT_Jx)[:P])
+        gp = _r(jnp.zeros((P + 1, 3)).at[pid_safe].add(JxT_r)[:P])
+        observed = (
+            _r(jnp.zeros((P + 1,), jnp.int32).at[pid_safe].add(1)[:P]) > 0
+        )
 
         # Damped inverse of each 3x3 block. Damping must be RELATIVE to the
         # block scale: a point seen once gives a rank-2 block with entries
@@ -202,15 +213,17 @@ def local_ba(
         # --- camera blocks: Hcc (W, 6, 6) -> (D, D) block-diag -------------
         JcT_Jc = jnp.einsum("wkab,wkac->wkbc", Jc, Jc * w[..., None, None])
         JcT_r = jnp.einsum("wkab,wka->wkb", Jc * w[..., None, None], r)
-        Hcc_blocks = jnp.sum(JcT_Jc, axis=1)  # (W, 6, 6)
-        gc = jnp.sum(JcT_r, axis=1)  # (W, 6)
+        Hcc_blocks = _r(jnp.sum(JcT_Jc, axis=1))  # (W, 6, 6)
+        gc = _r(jnp.sum(JcT_r, axis=1))  # (W, 6)
 
         # --- coupling: A[p] = (6W, 3) column block per point ---------------
         # per-obs Jc^T Jx (6, 3) scattered into (P, W, 6, 3)
         JcT_Jx = jnp.einsum("wkab,wkac->wkbc", Jc, Jx * w[..., None, None])  # (W,K,6,3)
-        A = jnp.zeros((P + 1, W, 6, 3)).at[pid_safe, jnp.arange(W)[:, None]].add(
-            JcT_Jx
-        )[:P]  # (P, W, 6, 3)
+        A = _r(
+            jnp.zeros((P + 1, W, 6, 3)).at[pid_safe, jnp.arange(W)[:, None]].add(
+                JcT_Jx
+            )[:P]
+        )  # (P, W, 6, 3)
 
         # --- Schur: S = Hcc - sum_p A_p Hpp_p^-1 A_p^T ---------------------
         AH = jnp.einsum("pwab,pbc->pwac", A, Hpp_inv)  # (P, W, 6, 3)
@@ -270,6 +283,6 @@ def local_ba(
     # final stats
     r, _, _, mask = _reproj_residuals(poses_out, X_out, obs_uv, obs_z, obs_pid, obs_ok, cam)
     rn2 = jnp.sum(r * r, axis=-1)
-    n = jnp.sum(mask)
-    rmse = jnp.sqrt(jnp.sum(jnp.where(mask, rn2, 0.0)) / jnp.maximum(n, 1))
+    n = _r(jnp.sum(mask))
+    rmse = jnp.sqrt(_r(jnp.sum(jnp.where(mask, rn2, 0.0))) / jnp.maximum(n, 1))
     return BAResult(kf_pose=poses_out, pt_xyz=X_out, rmse_px=rmse, n_obs=n)

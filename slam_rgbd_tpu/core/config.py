@@ -92,6 +92,13 @@ class ICPConfig:
     levels: int = 3  # coarse-to-fine pyramid depth
     # Gauss-Newton iterations per level, coarse -> fine.
     iters: tuple = (10, 7, 5)
+    # Association search radius (pixels) per level, coarse -> fine: the
+    # dense gather is evaluated as a bounded-displacement roll stencil
+    # (TPU random gathers are ~100x slower than streaming); displacement
+    # beyond the radius is treated as association failure. Coarse levels
+    # get a wide radius (images are small), fine levels run after
+    # coarse alignment so residual flow is a few pixels.
+    window_px: tuple = (8, 4, 2)
     # Huber robust kernel width (metres) on the point-to-plane residual.
     huber_delta: float = 0.05
     # Association gates.

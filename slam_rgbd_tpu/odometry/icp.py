@@ -1,27 +1,39 @@
-"""Dense projective-association ICP (point-to-plane) — the odometry frontend.
+"""Dense projective-association ICP (point-to-plane + photometric) odometry.
 
 This is the native replacement for the tracking capability the reference
 delegates to ORB-SLAM3's `TrackRGBD` (`Youth.Source/AlgorithmModule/SLAM.cpp:54`),
 re-designed for TPU:
 
   * Association is *projective*: every source pixel is transformed by the
-    current pose estimate, projected into the target image, and matched to
-    the target vertex at that pixel — a dense gather, not a KD-tree. The
-    per-pixel map over 307k pixels is the TPU-shaped replacement for the
-    reference's hottest loop (`viewerModule.c:336-357`, SURVEY.md §3.2).
-  * The energy is point-to-plane with a Huber robust kernel; each
-    Gauss-Newton step reduces per-pixel (J, r) into a 6x6 normal-equations
-    system — one fused XLA reduction (Pallas kernel in `ops/icp_pallas.py`
-    accumulates JtJ/Jtr in-register without HBM round trips).
-  * Everything is static-shaped and jitted ONCE: a fixed pyramid schedule,
-    fixed iteration counts (`lax.fori_loop`), masks instead of early exits —
-    no recompilation across frames (the gate in BASELINE.md config[0]).
+    current pose estimate and matched to the target surface at its
+    projected location. The per-pixel map over 307k pixels is the
+    TPU-shaped replacement for the reference's hottest loop
+    (`viewerModule.c:336-357`, SURVEY.md §3.2).
+  * **No random gathers.** XLA/TPU gathers over image-sized index sets run
+    ~100x below streaming bandwidth (measured: 76 ms/iteration at 640x480).
+    Instead, sub-pixel bilinear sampling is evaluated as a
+    bounded-displacement *weighted roll stencil*: after coarse-to-fine
+    initialization the projective flow is a few pixels, so
+
+        bilinear(img, u+du_f, v+dv_f)
+          = sum_{dv, du in window} hat(dv_f - dv) hat(du_f - du)
+                                   * img shifted by (dv, du)
+
+    which is exact (hat = bilinear weights) and runs as (2D+2)^2 fused
+    shift-FMA passes on the VPU — pure streaming, HBM-bound. Displacement
+    beyond the per-level window (`ICPConfig.window_px`) gates the pixel out
+    (association failure), which coarse-to-fine + the motion prior makes
+    rare. The Pallas kernel in `ops/` keeps the window resident in VMEM to
+    remove the per-term HBM re-reads.
+  * The energy combines point-to-plane geometry with a DVO-style intensity
+    term in one 6x6 Gauss-Newton system; Huber weights; fixed iteration
+    counts (`lax.fori_loop`); everything static-shaped and jitted once.
 
 Math: left-multiplicative update T <- exp(delta) @ T with twist delta=(v, w).
 For source point y = T p_s associated to target point q with target normal n:
 
-    r = n . (y - q)
-    dr/dv = n          dr/dw = y x n
+    r_geo = n . (y - q)        J_geo = [n, y x n]
+    r_pho = I_t(pi(y)) - i_s   J_pho = [g, y x g],  g = dI/du * du/dy
 
 Solving (J^T W J + lambda I) delta = -J^T W r and composing.
 """
@@ -35,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_rgbd_tpu.core import se3
-from slam_rgbd_tpu.core.camera import bilinear_sample, project
+from slam_rgbd_tpu.core.camera import pixel_grid
 from slam_rgbd_tpu.core.config import CameraIntrinsics, ICPConfig
 
 
@@ -48,33 +60,112 @@ class ICPResult(NamedTuple):
     valid_fraction: jax.Array  # () float32 — inliers / valid source pixels
 
 
-def _normal_equations(T: jax.Array, level: dict, cam: CameraIntrinsics, cfg: ICPConfig):
-    """Build (H 6x6, g 6, inliers, sq_res_sum) for one GN iteration.
+def windowed_bilinear(
+    channels: jax.Array,  # (H, W, C) packed target maps
+    valid: jax.Array,  # (H, W) target validity
+    up: jax.Array,  # (H, W) absolute target u coord per source pixel
+    vp: jax.Array,  # (H, W) absolute target v coord per source pixel
+    radius: int,
+    mean_mask: jax.Array | None = None,  # (H, W) pixels to estimate flow on
+):
+    """Exact bilinear sampling via a mean-shift + bounded roll stencil.
 
-    Combines two residual blocks over the same dense association:
-      * geometric point-to-plane (as in KinectFusion), and
-      * photometric intensity difference (as in DVO), weighted by
-        `cfg.rgb_weight` — texture constrains the translation directions a
-        flat wall leaves unobservable.
+    The association displacement equals the full inter-frame optical flow
+    (it does NOT shrink as the pose converges), so a fixed stencil window
+    would cap the trackable motion. The *dominant* flow is removed first
+    with one dynamically-shifted roll (jnp.roll takes traced shifts); the
+    stencil then only has to cover flow *variation* across the image
+    (parallax + rotation gradients), which is small and level-bounded.
 
-    `level` holds flattened source arrays and 2-D target maps (see
-    `icp_align`). Pure jnp reference implementation; `ops.icp_pallas`
-    provides the fused TPU kernel with identical semantics.
+    Returns (values (H, W, C), ok (H, W)): `ok` requires full bilinear
+    support inside the window and image and all four corners valid.
+    Residual displacement beyond `radius` yields ok=False (association
+    failure), never a wrong sample.
     """
-    src_verts = level["src_verts"]  # (N, 3)
+    h, w = valid.shape
+    u_grid, v_grid = pixel_grid(h, w, up.dtype)
+    du_f = up - u_grid
+    dv_f = vp - v_grid
+
+    # Dominant-flow estimate over plausibly-valid pixels.
+    mm = (
+        mean_mask
+        if mean_mask is not None
+        else (up > 0) & (up < w - 1) & (vp > 0) & (vp < h - 1)
+    ).astype(up.dtype)
+    msum = jnp.maximum(jnp.sum(mm), 1.0)
+    mu_u = jnp.round(jnp.sum(du_f * mm) / msum).astype(jnp.int32)
+    mu_v = jnp.round(jnp.sum(dv_f * mm) / msum).astype(jnp.int32)
+    channels = jnp.roll(channels, (-mu_v, -mu_u), axis=(0, 1))
+    valid_f = jnp.roll(valid.astype(channels.dtype), (-mu_v, -mu_u), axis=(0, 1))
+    du_f = du_f - mu_u
+    dv_f = dv_f - mu_v
+    # absolute target coords for the in-bounds checks (roll wrap = OOB)
+    u_abs = u_grid + mu_u
+    v_abs = v_grid + mu_v
+
+    acc = jnp.zeros_like(channels)
+    wsum = jnp.zeros_like(up)
+    vsum = jnp.zeros_like(up)
+    for dv in range(-radius, radius + 2):
+        wv = jnp.maximum(0.0, 1.0 - jnp.abs(dv_f - dv))
+        inb_v = (v_abs + dv >= 0) & (v_abs + dv < h)
+        for du in range(-radius, radius + 2):
+            wu = jnp.maximum(0.0, 1.0 - jnp.abs(du_f - du))
+            inb = inb_v & (u_abs + du >= 0) & (u_abs + du < w)
+            wgt = jnp.where(inb, wv * wu, 0.0)
+            shifted = jnp.roll(channels, (-dv, -du), axis=(0, 1))
+            sv = jnp.roll(valid_f, (-dv, -du), axis=(0, 1))
+            acc = acc + wgt[..., None] * shifted
+            wsum = wsum + wgt
+            vsum = vsum + wgt * sv
+    ok = (wsum > 0.999) & (vsum > 0.999)
+    return acc, ok
+
+
+def _pack_level(src: dict, tgt: dict):
+    """Precompute the per-level arrays the GN iterations consume.
+
+    Target channels are packed into one (H, W, C) array so every stencil
+    term is a single fused shift-FMA: verts(3) + normals(3) [+ intensity(1)
+    + grad(2)].
+    """
+    has_rgb = "intensity" in src
+    tgt_parts = [tgt["vertices"], tgt["normals"]]
+    if has_rgb:
+        tgt_parts += [tgt["intensity"][..., None], tgt["grad"]]
+    level = {
+        "src_verts": src["vertices"],
+        "src_normals": src["normals"],
+        "src_valid": src["valid"],
+        "tgt_channels": jnp.concatenate(tgt_parts, axis=-1),
+        "tgt_valid": tgt["valid"],
+    }
+    if has_rgb:
+        level["src_intensity"] = src["intensity"]
+    return level
+
+
+def _normal_equations(T: jax.Array, level: dict, cam: CameraIntrinsics,
+                      cfg: ICPConfig, radius: int):
+    """Build (H 6x6, g 6, inliers, sq_res_sum) for one GN iteration."""
+    src_verts = level["src_verts"]  # (H, W, 3)
     has_rgb = "src_intensity" in level
 
     # Transform source into target frame and project.
-    y = se3.transform_points(T, src_verts)  # (N, 3)
+    y = se3.transform_points(T, src_verts)  # (H, W, 3)
     n_src = se3.rotate_vectors(T, level["src_normals"])
-    uv, in_img = project(y, cam)
-    u, v = uv[..., 0], uv[..., 1]
+    x_c, y_c, z_c = y[..., 0], y[..., 1], y[..., 2]
+    z_safe = jnp.maximum(z_c, 1e-6)
+    up = cam.fx * x_c / z_safe + cam.cx
+    vp = cam.fy * y_c / z_safe + cam.cy
+    in_front = z_c > cam.min_depth
 
-    # Bilinear association: sub-pixel gather of target vertex + normal.
-    # (Nearest-neighbour leaves a systematic mm-scale pose bias.)
-    tgt_valid = level["tgt_valid"]
-    q, q_valid = bilinear_sample(level["tgt_verts"], u, v, tgt_valid)
-    n, _ = bilinear_sample(level["tgt_normals"], u, v, tgt_valid)
+    sampled, samp_ok = windowed_bilinear(
+        level["tgt_channels"], level["tgt_valid"], up, vp, radius
+    )
+    q = sampled[..., 0:3]
+    n = sampled[..., 3:6]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
 
     # Association gates (distance / normal agreement / validity).
@@ -82,50 +173,51 @@ def _normal_equations(T: jax.Array, level: dict, cam: CameraIntrinsics, cfg: ICP
     dist_ok = jnp.sum(diff * diff, axis=-1) < cfg.max_dist * cfg.max_dist
     cos_thresh = jnp.cos(jnp.deg2rad(cfg.max_normal_angle_deg))
     angle_ok = jnp.sum(n * n_src, axis=-1) > cos_thresh
-    mask = level["src_valid"] & in_img & q_valid & dist_ok & angle_ok
+    mask = level["src_valid"] & in_front & samp_ok & dist_ok & angle_ok
 
     # Geometric point-to-plane residual and Jacobian.
-    r = jnp.sum(n * diff, axis=-1)  # (N,)
-    J = jnp.concatenate([n, jnp.cross(y, n)], axis=-1)  # (N, 6)
+    r = jnp.sum(n * diff, axis=-1)  # (H, W)
+    J = jnp.concatenate([n, jnp.cross(y, n)], axis=-1)  # (H, W, 6)
 
     abs_r = jnp.abs(r)
-    w = jnp.where(abs_r <= cfg.huber_delta, 1.0, cfg.huber_delta / jnp.maximum(abs_r, 1e-12))
-    w = jnp.where(mask, w, 0.0)
+    wgt = jnp.where(abs_r <= cfg.huber_delta, 1.0, cfg.huber_delta / jnp.maximum(abs_r, 1e-12))
+    wgt = jnp.where(mask, wgt, 0.0)
 
-    Jw = J * w[:, None]
-    H = Jw.T @ J  # (6, 6) — MXU-friendly contraction
-    g = Jw.T @ r  # (6,)
+    Jf = J.reshape(-1, 6)
+    wf = wgt.reshape(-1)
+    rf = r.reshape(-1)
+    Jw = Jf * wf[:, None]
+    H = Jw.T @ Jf  # (6, 6) — MXU-friendly contraction
+    g = Jw.T @ rf  # (6,)
     inliers = jnp.sum(mask)
-    sq_sum = jnp.sum(w * r * r)
+    sq_sum = jnp.sum(wgt * r * r)
 
     if has_rgb and cfg.rgb_weight > 0.0:
         # Photometric block: r_I = I_tgt(pi(y)) - I_src(x).
-        i_tgt, _ = bilinear_sample(level["tgt_intensity"], u, v, tgt_valid)
-        grad, _ = bilinear_sample(level["tgt_grad"], u, v, tgt_valid)
+        i_tgt = sampled[..., 6]
+        grad = sampled[..., 7:9]
         r_i = i_tgt - level["src_intensity"]
-        # d u / d y (pinhole), then chain with dy/ddelta = [I | -hat(y)].
-        z = jnp.maximum(y[..., 2], 1e-6)
         gx, gy = grad[..., 0], grad[..., 1]
-        a = gx * cam.fx / z
-        b = gy * cam.fy / z
-        c = -(a * y[..., 0] + b * y[..., 1]) / z
-        # J_i = [a, b, c,  -b*y_z + c*y_y? ...] — build via cross structure:
-        # dr/dv = (a, b, c); dr/dw = y x (a, b, c)  (same form as the
-        # geometric block with "normal" replaced by the image-plane vector).
+        a = gx * cam.fx / z_safe
+        b = gy * cam.fy / z_safe
+        c = -(a * x_c + b * y_c) / z_safe
         gvec = jnp.stack([a, b, c], axis=-1)
         J_i = jnp.concatenate([gvec, jnp.cross(y, gvec)], axis=-1)
         abs_ri = jnp.abs(r_i)
         w_i = jnp.where(abs_ri <= cfg.rgb_huber, 1.0, cfg.rgb_huber / jnp.maximum(abs_ri, 1e-12))
         w_i = jnp.where(mask, w_i * cfg.rgb_weight, 0.0)
-        Jw_i = J_i * w_i[:, None]
-        H = H + Jw_i.T @ J_i
-        g = g + Jw_i.T @ r_i
+        Jif = J_i.reshape(-1, 6)
+        wif = w_i.reshape(-1)
+        rif = r_i.reshape(-1)
+        Jw_i = Jif * wif[:, None]
+        H = H + Jw_i.T @ Jif
+        g = g + Jw_i.T @ rif
 
     return H, g, inliers, sq_sum
 
 
-def _gn_step(T, level, cam, cfg: ICPConfig):
-    H, g, inliers, sq_sum = _normal_equations(T, level, cam, cfg)
+def _gn_step(T, level, cam, cfg: ICPConfig, radius: int):
+    H, g, inliers, sq_sum = _normal_equations(T, level, cam, cfg, radius)
     # Levenberg damping scaled to the diagonal for float32 conditioning.
     diag = jnp.diagonal(H)
     Hd = H + jnp.diag(cfg.damping * jnp.maximum(diag, 1.0))
@@ -145,7 +237,7 @@ def icp_align(
     cam: CameraIntrinsics,
     cfg: ICPConfig,
 ) -> ICPResult:
-    """Coarse-to-fine point-to-plane ICP between two frame pyramids.
+    """Coarse-to-fine point-to-plane + photometric alignment.
 
     `src_pyr` / `tgt_pyr` are `build_frame_pyramid` outputs (finest level
     first). Returns T mapping source-camera coordinates into target-camera
@@ -157,26 +249,15 @@ def icp_align(
     sq_sum = jnp.float32(0.0)
     for k in range(levels - 1, -1, -1):  # coarse -> fine (static unroll)
         level_cam = cam.scaled(2.0**k)
-        src = src_pyr[k]
-        tgt = tgt_pyr[k]
-        level = {
-            "src_verts": src["vertices"].reshape(-1, 3),
-            "src_normals": src["normals"].reshape(-1, 3),
-            "src_valid": src["valid"].reshape(-1),
-            "tgt_verts": tgt["vertices"],
-            "tgt_normals": tgt["normals"],
-            "tgt_valid": tgt["valid"],
-        }
-        if "intensity" in src:
-            level["src_intensity"] = src["intensity"].reshape(-1)
-            level["tgt_intensity"] = tgt["intensity"]
-            level["tgt_grad"] = tgt["grad"]
-        # iters tuple is coarse -> fine: index 0 = coarsest level.
-        n_iters = cfg.iters[min(levels - 1 - k, len(cfg.iters) - 1)]
+        level = _pack_level(src_pyr[k], tgt_pyr[k])
+        # iters/window tuples are coarse -> fine: index 0 = coarsest level.
+        ci = min(levels - 1 - k, len(cfg.iters) - 1)
+        n_iters = cfg.iters[ci]
+        radius = cfg.window_px[min(ci, len(cfg.window_px) - 1)]
 
-        def body(_, carry):
+        def body(_, carry, level=level, level_cam=level_cam, radius=radius):
             T, _, _ = carry
-            T_new, inl, ss = _gn_step(T, level, level_cam, cfg)
+            T_new, inl, ss = _gn_step(T, level, level_cam, cfg, radius)
             return (T_new, inl, ss)
 
         T, inliers, sq_sum = jax.lax.fori_loop(0, n_iters, body, (T, inliers, sq_sum))
