@@ -43,7 +43,7 @@ def _make_source(args, cfg):
 
         return TUMSequence(args.input, cfg.camera), None
     if args.input and args.input.endswith(".rgbd"):
-        return st.StreamReader(args.input), None
+        return st.open_reader(args.input, prefetch=cfg.stream.prefetch), None
     if args.input and args.input.startswith("synthetic"):
         from slam_rgbd_tpu.io.synthetic import SyntheticSequence
 
@@ -98,7 +98,8 @@ def cmd_record(args):
     from slam_rgbd_tpu.io import stream as st
 
     n = 0
-    with st.StreamRecorder(args.output) as rec:
+    rec = st.open_recorder(args.output)
+    with rec:
         for ts, d, c in st.paced(iter(src), args.fps):
             rec.write(ts, d, c)
             n += 1

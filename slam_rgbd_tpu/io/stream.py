@@ -202,6 +202,42 @@ def paced(frames: Iterator[Frame], fps: float) -> Iterator[Frame]:
         yield f
 
 
+def open_recorder(path: str, prefer_native: bool = True):
+    """Recorder factory: the native C++ codec when available, else Python.
+
+    Both produce bit-identical files (tested); the native path does its
+    buffered writes without holding the GIL.
+    """
+    if prefer_native:
+        try:
+            from slam_rgbd_tpu.io import native
+
+            if native.native_available():
+                return native.NativeStreamRecorder(path)
+        except Exception:  # noqa: BLE001 — native is best-effort
+            log.debug("native recorder unavailable; using Python codec")
+    return StreamRecorder(path)
+
+
+def open_reader(path: str, prefer_native: bool = True, prefetch: int = 0):
+    """Reader factory: native prefetching reader when available.
+
+    `prefetch` > 0 uses the C++ reader thread decoding ahead of the
+    consumer (the data-loader path); 0 reads synchronously.
+    """
+    if prefer_native:
+        try:
+            from slam_rgbd_tpu.io import native
+
+            if native.native_available():
+                if prefetch > 0:
+                    return native.NativePrefetcher(path, capacity=prefetch)
+                return native.NativeStreamReader(path)
+        except Exception:  # noqa: BLE001
+            log.debug("native reader unavailable; using Python codec")
+    return StreamReader(path)
+
+
 class ControlCommand(enum.Enum):
     """The reference's control verbs (`frameDefinitions.h:39-42` + RESET
     from `SLAM.h:35`)."""

@@ -87,7 +87,7 @@ class PipelineRunner:
         verb, arg = cmd
         if verb == st.ControlCommand.START_RECORD:
             if self.recorder is None and arg:
-                self.recorder = st.StreamRecorder(arg)
+                self.recorder = st.open_recorder(arg)
                 log.info("recording to %s", arg)
         elif verb == st.ControlCommand.STOP_RECORD:
             if self.recorder is not None:
@@ -98,7 +98,8 @@ class PipelineRunner:
                 # playback replaces the live source (passthrough-off
                 # semantics, `loggingModule.c:244-248`)
                 self.playback_source = st.paced(
-                    iter(st.StreamReader(arg)), self.cfg.stream.paced_fps
+                    iter(st.open_reader(arg, prefetch=self.cfg.stream.prefetch)),
+                    self.cfg.stream.paced_fps,
                 )
                 log.info("playback from %s", arg)
         elif verb == st.ControlCommand.STOP_PLAYBACK:
