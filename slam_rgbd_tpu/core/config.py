@@ -115,6 +115,10 @@ class ICPConfig:
     # flat wall; texture can. 0 disables the term.
     rgb_weight: float = 20.0
     rgb_huber: float = 0.08
+    # GN-reduction backend: "auto" fuses the association stencil + normal
+    # equations into the Pallas kernel (`ops/icp_pallas.py`) on TPU and
+    # keeps the XLA roll-stencil elsewhere; "xla" / "pallas" force a path.
+    backend: str = "auto"
 
 
 @dataclass(frozen=True)

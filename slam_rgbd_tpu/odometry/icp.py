@@ -60,6 +60,29 @@ class ICPResult(NamedTuple):
     valid_fraction: jax.Array  # () float32 — inliers / valid source pixels
 
 
+def flow_shift(up: jax.Array, vp: jax.Array, h: int, w: int):
+    """Dominant-flow estimate: rounded masked mean of the projective flow.
+
+    Shared by the XLA roll-stencil and the fused Pallas kernel so both
+    paths shift the target by the identical (mu_u, mu_v).
+    """
+    u_grid, v_grid = pixel_grid(h, w, up.dtype)
+    mm = ((up > 0) & (up < w - 1) & (vp > 0) & (vp < h - 1)).astype(up.dtype)
+    msum = jnp.maximum(jnp.sum(mm), 1.0)
+    mu_u = jnp.round(jnp.sum((up - u_grid) * mm) / msum).astype(jnp.int32)
+    mu_v = jnp.round(jnp.sum((vp - v_grid) * mm) / msum).astype(jnp.int32)
+    return mu_u, mu_v
+
+
+def _project_level(T: jax.Array, src_verts: jax.Array, cam: CameraIntrinsics):
+    """Transform + pinhole-project source vertices under pose T."""
+    y = se3.transform_points(T, src_verts)
+    z_safe = jnp.maximum(y[..., 2], 1e-6)
+    up = cam.fx * y[..., 0] / z_safe + cam.cx
+    vp = cam.fy * y[..., 1] / z_safe + cam.cy
+    return y, up, vp, z_safe
+
+
 def windowed_bilinear(
     channels: jax.Array,  # (H, W, C) packed target maps
     valid: jax.Array,  # (H, W) target validity
@@ -67,6 +90,7 @@ def windowed_bilinear(
     vp: jax.Array,  # (H, W) absolute target v coord per source pixel
     radius: int,
     mean_mask: jax.Array | None = None,  # (H, W) pixels to estimate flow on
+    shift: tuple | None = None,  # fixed (mu_u, mu_v) override
 ):
     """Exact bilinear sampling via a mean-shift + bounded roll stencil.
 
@@ -87,15 +111,15 @@ def windowed_bilinear(
     du_f = up - u_grid
     dv_f = vp - v_grid
 
-    # Dominant-flow estimate over plausibly-valid pixels.
-    mm = (
-        mean_mask
-        if mean_mask is not None
-        else (up > 0) & (up < w - 1) & (vp > 0) & (vp < h - 1)
-    ).astype(up.dtype)
-    msum = jnp.maximum(jnp.sum(mm), 1.0)
-    mu_u = jnp.round(jnp.sum(du_f * mm) / msum).astype(jnp.int32)
-    mu_v = jnp.round(jnp.sum(dv_f * mm) / msum).astype(jnp.int32)
+    if shift is not None:
+        mu_u, mu_v = shift
+    elif mean_mask is not None:
+        mm = mean_mask.astype(up.dtype)
+        msum = jnp.maximum(jnp.sum(mm), 1.0)
+        mu_u = jnp.round(jnp.sum(du_f * mm) / msum).astype(jnp.int32)
+        mu_v = jnp.round(jnp.sum(dv_f * mm) / msum).astype(jnp.int32)
+    else:
+        mu_u, mu_v = flow_shift(up, vp, h, w)
     channels = jnp.roll(channels, (-mu_v, -mu_u), axis=(0, 1))
     valid_f = jnp.roll(valid.astype(channels.dtype), (-mu_v, -mu_u), axis=(0, 1))
     du_f = du_f - mu_u
@@ -147,22 +171,19 @@ def _pack_level(src: dict, tgt: dict):
 
 
 def _normal_equations(T: jax.Array, level: dict, cam: CameraIntrinsics,
-                      cfg: ICPConfig, radius: int):
+                      cfg: ICPConfig, radius: int, shift: tuple | None = None):
     """Build (H 6x6, g 6, inliers, sq_res_sum) for one GN iteration."""
     src_verts = level["src_verts"]  # (H, W, 3)
     has_rgb = "src_intensity" in level
 
     # Transform source into target frame and project.
-    y = se3.transform_points(T, src_verts)  # (H, W, 3)
+    y, up, vp, z_safe = _project_level(T, src_verts, cam)
     n_src = se3.rotate_vectors(T, level["src_normals"])
     x_c, y_c, z_c = y[..., 0], y[..., 1], y[..., 2]
-    z_safe = jnp.maximum(z_c, 1e-6)
-    up = cam.fx * x_c / z_safe + cam.cx
-    vp = cam.fy * y_c / z_safe + cam.cy
     in_front = z_c > cam.min_depth
 
     sampled, samp_ok = windowed_bilinear(
-        level["tgt_channels"], level["tgt_valid"], up, vp, radius
+        level["tgt_channels"], level["tgt_valid"], up, vp, radius, shift=shift
     )
     q = sampled[..., 0:3]
     n = sampled[..., 3:6]
@@ -216,8 +237,8 @@ def _normal_equations(T: jax.Array, level: dict, cam: CameraIntrinsics,
     return H, g, inliers, sq_sum
 
 
-def _gn_step(T, level, cam, cfg: ICPConfig, radius: int):
-    H, g, inliers, sq_sum = _normal_equations(T, level, cam, cfg, radius)
+def _apply_update(T, H, g, inliers, cfg: ICPConfig):
+    """Damped 6x6 GN solve and left-multiplicative pose update."""
     # Levenberg damping scaled to the diagonal for float32 conditioning.
     diag = jnp.diagonal(H)
     Hd = H + jnp.diag(cfg.damping * jnp.maximum(diag, 1.0))
@@ -225,8 +246,28 @@ def _gn_step(T, level, cam, cfg: ICPConfig, radius: int):
     delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), -g)
     ok = jnp.all(jnp.isfinite(delta)) & (inliers > 6)
     delta = jnp.where(ok, delta, 0.0)
-    T_new = se3.normalize_rotation(se3.exp(delta) @ T)
+    return se3.normalize_rotation(se3.exp(delta) @ T)
+
+
+def _gn_step(T, level, cam, cfg: ICPConfig, radius: int):
+    H, g, inliers, sq_sum = _normal_equations(T, level, cam, cfg, radius)
+    T_new = _apply_update(T, H, g, inliers, cfg)
     return T_new, inliers, sq_sum
+
+
+def _pallas_level(cfg: ICPConfig, radius: int, h: int, w: int) -> bool:
+    """Run this pyramid level through the fused Pallas GN kernel?
+
+    The kernel statically unrolls the (2R+2)^2 association stencil, so it
+    is reserved for the post-coarse levels where the dominant-flow shift
+    leaves only a small residual window; the coarsest level keeps the XLA
+    path with its per-iteration flow re-estimate.
+    """
+    if cfg.backend == "xla":
+        return False
+    if cfg.backend == "auto" and jax.default_backend() != "tpu":
+        return False
+    return radius <= 4 and min(h, w) >= 32
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -254,11 +295,39 @@ def icp_align(
         ci = min(levels - 1 - k, len(cfg.iters) - 1)
         n_iters = cfg.iters[ci]
         radius = cfg.window_px[min(ci, len(cfg.window_px) - 1)]
+        h, w = level["tgt_valid"].shape
 
-        def body(_, carry, level=level, level_cam=level_cam, radius=radius):
-            T, _, _ = carry
-            T_new, inl, ss = _gn_step(T, level, level_cam, cfg, radius)
-            return (T_new, inl, ss)
+        if _pallas_level(cfg, radius, h, w):
+            from slam_rgbd_tpu.ops import icp_pallas as ip
+
+            # Dominant flow from the level-entry pose; the target maps are
+            # shifted once per level, the kernel's window covers the
+            # within-level drift.
+            _, up, vp, _ = _project_level(T, level["src_verts"], level_cam)
+            mu_u, mu_v = flow_shift(up, vp, h, w)
+            th, n_tiles, w_pad = ip.plan_tiles(h, w, radius)
+            srcp = ip.build_source_planes(src_pyr[k], th, n_tiles, w_pad)
+            tgtp = ip.build_target_planes(
+                tgt_pyr[k], mu_u, mu_v, radius, th, n_tiles, w_pad
+            )
+            interp = jax.default_backend() != "tpu"
+
+            def body(_, carry, srcp=srcp, tgtp=tgtp, mu_u=mu_u, mu_v=mu_v,
+                     level_cam=level_cam, radius=radius, h=h, w=w,
+                     interp=interp):
+                T, _, _ = carry
+                scal = ip.pack_scalars(T, mu_u, mu_v)
+                H, g, inl, ss = ip.gn_reduce(
+                    scal, srcp, tgtp, level_cam, cfg, radius, (h, w),
+                    interpret=interp,
+                )
+                return (_apply_update(T, H, g, inl, cfg), inl, ss)
+        else:
+
+            def body(_, carry, level=level, level_cam=level_cam, radius=radius):
+                T, _, _ = carry
+                T_new, inl, ss = _gn_step(T, level, level_cam, cfg, radius)
+                return (T_new, inl, ss)
 
         T, inliers, sq_sum = jax.lax.fori_loop(0, n_iters, body, (T, inliers, sq_sum))
 

@@ -1,0 +1,360 @@
+"""Fused dense-ICP Gauss-Newton Pallas kernel.
+
+One GN iteration of projective point-to-plane + photometric alignment
+(`odometry/icp.py:_normal_equations`) evaluated as a single row-tiled
+kernel. The XLA stencil path re-reads the packed target maps from HBM for
+every one of the (2R+2)^2 shift-FMA terms (~36 full-image passes per
+iteration at the finest level); here each grid step
+
+  1. DMAs one target row-window (tile + stencil halo) HBM -> VMEM with
+     double buffering,
+  2. transforms + projects the source tile, evaluates the exact
+     windowed-bilinear association stencil entirely from VMEM,
+  3. reduces the weighted 7x7 normal-equation blocks (geometric and
+     photometric) in-register,
+
+so HBM traffic per iteration drops to one streaming read of the source
+and target maps, and only an (8, 128) accumulator block ever leaves the
+chip. This is the speed-of-light replacement for the reference's hottest
+loop, the O(W*H) per-pixel back-projection at
+`Youth.Source/ViewerModule/viewerModule.c:336-357` (SURVEY.md section 3.2),
+fused with the tracking math the reference delegates to ORB-SLAM3's
+`TrackRGBD` (`Youth.Source/AlgorithmModule/SLAM.cpp:54`).
+
+Association math is identical to `odometry.icp.windowed_bilinear` with a
+fixed per-level dominant-flow shift (mu_u, mu_v): the target maps are
+rolled by -mu once per pyramid level (they do not depend on the pose), and
+the kernel's static stencil then only covers flow *variation*, which
+coarse-to-fine alignment keeps within a few pixels.
+
+Layout: planes are channel-first (C, H, W) float32.
+  source (8, H, W):  vx vy vz  nx ny nz  valid  intensity
+  target (10, Hp, W): vx vy vz  nx ny nz  valid  intensity  gx gy
+with Hp = n_tiles*TH + 2*(radius+1) rows (zero/invalid padded).
+
+Output block (8, 128) float32, accumulated over the sequential grid:
+  [0:7, 0:7]   M_geo  = sum w  * a a^T,  a = [J0..J5, r]
+  [0:7, 8:15]  M_pho  = sum wi * b b^T,  b = [Ji0..Ji5, ri]
+  [0, 16]      inlier count
+so H = M_geo[:6,:6] + M_pho[:6,:6], g = column 6 of both, the robust
+squared-residual sum is M_geo[6,6], matching `_normal_equations` exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slam_rgbd_tpu.core.config import CameraIntrinsics, ICPConfig
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def plan_tiles(height: int, width: int, radius: int):
+    """(tile_rows, n_tiles, padded_width) keeping the working set in VMEM.
+
+    Tile rows are bounded both by a source-block byte budget and by a
+    stencil-terms x pixels budget: Mosaic's compiler falls over (helper
+    exit 1) once the unrolled stencil's live vector state exceeds roughly
+    4M term-pixels per tile (measured: 100 terms x 120x384 crashes,
+    100 x 88x384 and 36 x 96x640 compile fine).
+    """
+    w_pad = _round_up(width, _LANE)
+    n_terms = (2 * radius + 2) ** 2
+    th = min(
+        _round_up(height, 8),
+        (1_500_000 // (8 * w_pad * 4)) & ~7,
+        (3_200_000 // (w_pad * n_terms)) & ~7,
+        96,
+    )
+    th = max(8, th)
+    n_tiles = -(-height // th)
+    return th, n_tiles, w_pad
+
+
+def build_source_planes(src: dict, th: int, n_tiles: int, w_pad: int):
+    """Stack source maps channel-first, zero-padded to the tile grid."""
+    h, w = src["valid"].shape
+    inten = src.get("intensity", jnp.zeros((h, w), jnp.float32))
+    planes = jnp.concatenate(
+        [
+            jnp.moveaxis(src["vertices"], -1, 0),
+            jnp.moveaxis(src["normals"], -1, 0),
+            src["valid"].astype(jnp.float32)[None],
+            inten[None],
+        ],
+        axis=0,
+    )
+    return jnp.pad(planes, ((0, 0), (0, n_tiles * th - h), (0, w_pad - w)))
+
+
+def build_target_planes(
+    tgt: dict, mu_u: jax.Array, mu_v: jax.Array, radius: int,
+    th: int, n_tiles: int, w_pad: int,
+):
+    """Channel-first target maps, rolled by the dominant flow and padded.
+
+    Rolled once per pyramid level (the target does not depend on the
+    pose); row padding gives the kernel a statically-sliceable halo.
+    Wrapped rows/columns are gated out in-kernel by absolute-coordinate
+    bounds checks, exactly like the XLA roll-stencil path.
+    """
+    h, w = tgt["valid"].shape
+    inten = tgt.get("intensity", jnp.zeros((h, w), jnp.float32))
+    grad = tgt.get("grad", jnp.zeros((h, w, 2), jnp.float32))
+    planes = jnp.concatenate(
+        [
+            jnp.moveaxis(tgt["vertices"], -1, 0),
+            jnp.moveaxis(tgt["normals"], -1, 0),
+            tgt["valid"].astype(jnp.float32)[None],
+            inten[None],
+            jnp.moveaxis(grad, -1, 0),
+        ],
+        axis=0,
+    )
+    planes = jnp.roll(planes, (-mu_v, -mu_u), axis=(1, 2))
+    rv = radius + 1
+    span = _round_up(th + 2 * rv, 8)  # DMA slices must be sublane-aligned
+    rows_total = (n_tiles - 1) * th + span
+    return jnp.pad(planes, ((0, 0), (rv, rows_total - h - rv), (0, w_pad - w)))
+
+
+def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
+                 th: int, n_tiles: int, height: int, width: int):
+    rv = radius + 1
+    span = _round_up(th + 2 * rv, 8)  # matches build_target_planes padding
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    min_depth = cam.min_depth
+    max_dist_sq = cfg.max_dist * cfg.max_dist
+    import math
+
+    cos_thresh = math.cos(math.radians(cfg.max_normal_angle_deg))
+    huber = cfg.huber_delta
+    rgb_w = cfg.rgb_weight
+    rgb_huber = cfg.rgb_huber
+
+    def kernel(scal_ref, src_ref, tgt_ref, out_ref, scratch, sems):
+        i = pl.program_id(0)
+
+        def window_dma(slot, tile):
+            return pltpu.make_async_copy(
+                tgt_ref.at[:, pl.ds(tile * th, span), :],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            window_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            window_dma((i + 1) % 2, i + 1).start()
+
+        window_dma(i % 2, i).wait()
+        slot = i % 2
+
+        # ---- transform + project the source tile --------------------------
+        t = [[scal_ref[0, 4 * r + c] for c in range(4)] for r in range(4)]
+        mu_u = scal_ref[0, 16]
+        mu_v = scal_ref[0, 17]
+
+        px, py, pz = src_ref[0], src_ref[1], src_ref[2]
+        snx, sny, snz = src_ref[3], src_ref[4], src_ref[5]
+        sval = src_ref[6]
+        sint = src_ref[7]
+
+        yx = t[0][0] * px + t[0][1] * py + t[0][2] * pz + t[0][3]
+        yy = t[1][0] * px + t[1][1] * py + t[1][2] * pz + t[1][3]
+        yz = t[2][0] * px + t[2][1] * py + t[2][2] * pz + t[2][3]
+        rnx = t[0][0] * snx + t[0][1] * sny + t[0][2] * snz
+        rny = t[1][0] * snx + t[1][1] * sny + t[1][2] * snz
+        rnz = t[2][0] * snx + t[2][1] * sny + t[2][2] * snz
+
+        z_safe = jnp.maximum(yz, 1e-6)
+        inv_z = 1.0 / z_safe
+        up = fx * yx * inv_z + cx
+        vp = fy * yy * inv_z + cy
+        in_front = yz > min_depth
+
+        shape = px.shape  # (th, w_pad)
+        u_grid = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        v_abs = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(
+            jnp.float32
+        ) + (i * th).astype(jnp.float32)
+        du_f = up - u_grid - mu_u
+        dv_f = vp - v_abs - mu_v
+        tu_base = u_grid + mu_u
+        tv_base = v_abs + mu_v
+        row_ok = v_abs < height  # tile-grid padding rows
+
+        # ---- exact windowed-bilinear stencil from VMEM --------------------
+        # Column shift in the OUTER loop: one whole-window roll per du
+        # ((2R+2) rolls total) — per-term rolls of the row slices blow up
+        # the Mosaic compiler at image widths beyond one lane tile.
+        acc = jnp.zeros((10,) + shape, jnp.float32)
+        wsum = jnp.zeros(shape, jnp.float32)
+        vsum = jnp.zeros(shape, jnp.float32)
+        win = scratch[slot]  # (10, span, w_pad)
+        w_pad = shape[1]
+        for du in range(-radius, radius + 2):
+            wu = jnp.maximum(0.0, 1.0 - jnp.abs(du_f - du))
+            tu = tu_base + du
+            inb_u = (tu >= 0.0) & (tu < width)
+            # pltpu.roll wants a non-negative shift; wrap is gated out by
+            # the absolute-coordinate bounds check above.
+            win_du = pltpu.roll(win, (-du) % w_pad, 2) if du else win
+            for dv in range(-radius, radius + 2):
+                wv = jnp.maximum(0.0, 1.0 - jnp.abs(dv_f - dv))
+                tv = tv_base + dv
+                wgt = jnp.where(
+                    inb_u & (tv >= 0.0) & (tv < height) & row_ok, wv * wu, 0.0
+                )
+                rows = win_du[:, rv + dv : rv + dv + th, :]
+                acc = acc + wgt[None] * rows
+                wsum = wsum + wgt
+                vsum = vsum + wgt * rows[6]
+
+        samp_ok = (wsum > 0.999) & (vsum > 0.999)
+        qx, qy, qz = acc[0], acc[1], acc[2]
+        nxr, nyr, nzr = acc[3], acc[4], acc[5]
+        n_norm = jnp.maximum(jnp.sqrt(nxr * nxr + nyr * nyr + nzr * nzr), 1e-9)
+        nx, ny, nz = nxr / n_norm, nyr / n_norm, nzr / n_norm
+
+        dx, dy, dz = yx - qx, yy - qy, yz - qz
+        dist_ok = dx * dx + dy * dy + dz * dz < max_dist_sq
+        angle_ok = nx * rnx + ny * rny + nz * rnz > cos_thresh
+        mask = (sval > 0.5) & in_front & samp_ok & dist_ok & angle_ok
+
+        # ---- geometric point-to-plane block --------------------------------
+        r = nx * dx + ny * dy + nz * dz
+        j3 = yy * nz - yz * ny  # y x n
+        j4 = yz * nx - yx * nz
+        j5 = yx * ny - yy * nx
+        abs_r = jnp.abs(r)
+        w = jnp.where(abs_r <= huber, 1.0, huber / jnp.maximum(abs_r, 1e-12))
+        w = jnp.where(mask, w, 0.0)
+        a = (nx, ny, nz, j3, j4, j5, r)
+
+        # ---- photometric (DVO) block ---------------------------------------
+        i_tgt = acc[7]
+        gx, gy = acc[8], acc[9]
+        ri = i_tgt - sint
+        ga = gx * fx * inv_z
+        gb = gy * fy * inv_z
+        gc = -(ga * yx + gb * yy) * inv_z
+        ji3 = yy * gc - yz * gb
+        ji4 = yz * ga - yx * gc
+        ji5 = yx * gb - yy * ga
+        abs_ri = jnp.abs(ri)
+        wi = jnp.where(
+            abs_ri <= rgb_huber, 1.0, rgb_huber / jnp.maximum(abs_ri, 1e-12)
+        )
+        wi = jnp.where(mask, wi * rgb_w, 0.0)
+        b = (ga, gb, gc, ji3, ji4, ji5, ri)
+
+        # Scatter is unsupported in Mosaic; place the 57 scalars with
+        # one-hot selects on the (8, 128) block (constant-folded masks).
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+
+        def place(block, rr, cc, val):
+            return jnp.where((row_ids == rr) & (col_ids == cc), val, block)
+
+        contrib = jnp.zeros((8, _LANE), jnp.float32)
+        for jj in range(7):
+            wa = w * a[jj]
+            wb = wi * b[jj]
+            for kk in range(jj, 7):
+                contrib = place(contrib, jj, kk, jnp.sum(wa * a[kk]))
+                contrib = place(contrib, jj, 8 + kk, jnp.sum(wb * b[kk]))
+        contrib = place(contrib, 0, 16, jnp.sum(mask.astype(jnp.float32)))
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            out_ref[:] = out_ref[:] + contrib
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "radius", "shape", "interpret")
+)
+def gn_reduce(
+    scalars: jax.Array,  # (1, 32) f32: T row-major (16), mu_u, mu_v
+    src_planes: jax.Array,  # (8, n_tiles*th, w_pad)
+    tgt_planes: jax.Array,  # (10, n_tiles*th + 2*(radius+1), w_pad)
+    cam: CameraIntrinsics,
+    cfg: ICPConfig,
+    radius: int,
+    shape: tuple,  # true (height, width) of the level
+    interpret: bool = False,
+):
+    """One fused GN reduction -> (H (6,6), g (6,), inliers, sq_sum)."""
+    height, width = shape
+    th, n_tiles, w_pad = plan_tiles(height, width, radius)
+    rv = radius + 1
+    span = _round_up(th + 2 * rv, 8)
+    kernel = _make_kernel(cam, cfg, radius, th, n_tiles, height, width)
+
+    n_terms = (2 * radius + 2) ** 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, th, w_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, _LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, span, w_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_tiles * th * w_pad * (n_terms * 24 + 260),
+            bytes_accessed=(src_planes.size + tgt_planes.size) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, src_planes, tgt_planes)
+
+    m_geo = out[:7, :7]
+    m_pho = out[:7, 8:15]
+    m = m_geo + m_pho
+    # symmetrize (only the upper triangle was accumulated)
+    upper = jnp.triu(m[:6, :6])
+    h_mat = upper + jnp.triu(upper, 1).T
+    g = m[:6, 6]
+    inliers = out[0, 16].astype(jnp.int32)
+    sq_sum = m_geo[6, 6]
+    return h_mat, g, inliers, sq_sum
+
+
+def pack_scalars(T: jax.Array, mu_u: jax.Array, mu_v: jax.Array) -> jax.Array:
+    """(1, 32) f32 scalar block for `gn_reduce`."""
+    vals = jnp.concatenate(
+        [
+            T.reshape(-1).astype(jnp.float32),
+            jnp.stack([mu_u.astype(jnp.float32), mu_v.astype(jnp.float32)]),
+            jnp.zeros(14, jnp.float32),
+        ]
+    )
+    return vals[None, :]
