@@ -267,7 +267,7 @@ def _pallas_level(cfg: ICPConfig, radius: int, h: int, w: int) -> bool:
         return False
     if cfg.backend == "auto" and jax.default_backend() != "tpu":
         return False
-    return radius <= 4 and min(h, w) >= 32
+    return radius <= 8 and min(h, w) >= 32
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -300,28 +300,53 @@ def icp_align(
         if _pallas_level(cfg, radius, h, w):
             from slam_rgbd_tpu.ops import icp_pallas as ip
 
-            # Dominant flow from the level-entry pose; the target maps are
-            # shifted once per level, the kernel's window covers the
-            # within-level drift.
-            _, up, vp, _ = _project_level(T, level["src_verts"], level_cam)
-            mu_u, mu_v = flow_shift(up, vp, h, w)
             th, n_tiles, w_pad = ip.plan_tiles(h, w, radius)
             srcp = ip.build_source_planes(src_pyr[k], th, n_tiles, w_pad)
-            tgtp = ip.build_target_planes(
-                tgt_pyr[k], mu_u, mu_v, radius, th, n_tiles, w_pad
-            )
             interp = jax.default_backend() != "tpu"
+            # The coarsest level runs before any alignment, so its dominant
+            # flow moves across GN iterations: re-estimate mu and re-roll
+            # the target every iteration (cheap at 1/4^k resolution —
+            # identical association semantics to the XLA path). Finer
+            # levels start near-converged: shift once per level and let the
+            # stencil window absorb the within-level drift.
+            per_iter_mu = k == levels - 1
+            if per_iter_mu:
+                tgt_level = tgt_pyr[k]
+                src_verts = level["src_verts"]
 
-            def body(_, carry, srcp=srcp, tgtp=tgtp, mu_u=mu_u, mu_v=mu_v,
-                     level_cam=level_cam, radius=radius, h=h, w=w,
-                     interp=interp):
-                T, _, _ = carry
-                scal = ip.pack_scalars(T, mu_u, mu_v)
-                H, g, inl, ss = ip.gn_reduce(
-                    scal, srcp, tgtp, level_cam, cfg, radius, (h, w),
-                    interpret=interp,
+                def body(_, carry, src_verts=src_verts, srcp=srcp,
+                         tgt_level=tgt_level, level_cam=level_cam,
+                         radius=radius, th=th, n_tiles=n_tiles, w_pad=w_pad,
+                         h=h, w=w, interp=interp):
+                    T, _, _ = carry
+                    _, up, vp, _ = _project_level(T, src_verts, level_cam)
+                    mu_u, mu_v = flow_shift(up, vp, h, w)
+                    tgtp = ip.build_target_planes(
+                        tgt_level, mu_u, mu_v, radius, th, n_tiles, w_pad
+                    )
+                    scal = ip.pack_scalars(T, mu_u, mu_v)
+                    H, g, inl, ss = ip.gn_reduce(
+                        scal, srcp, tgtp, level_cam, cfg, radius, (h, w),
+                        interpret=interp,
+                    )
+                    return (_apply_update(T, H, g, inl, cfg), inl, ss)
+            else:
+                _, up, vp, _ = _project_level(T, level["src_verts"], level_cam)
+                mu_u, mu_v = flow_shift(up, vp, h, w)
+                tgtp = ip.build_target_planes(
+                    tgt_pyr[k], mu_u, mu_v, radius, th, n_tiles, w_pad
                 )
-                return (_apply_update(T, H, g, inl, cfg), inl, ss)
+
+                def body(_, carry, srcp=srcp, tgtp=tgtp, mu_u=mu_u,
+                         mu_v=mu_v, level_cam=level_cam, radius=radius,
+                         h=h, w=w, interp=interp):
+                    T, _, _ = carry
+                    scal = ip.pack_scalars(T, mu_u, mu_v)
+                    H, g, inl, ss = ip.gn_reduce(
+                        scal, srcp, tgtp, level_cam, cfg, radius, (h, w),
+                        interpret=interp,
+                    )
+                    return (_apply_update(T, H, g, inl, cfg), inl, ss)
         else:
 
             def body(_, carry, level=level, level_cam=level_cam, radius=radius):
