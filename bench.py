@@ -37,29 +37,33 @@ def main():
         frames.append((jax.device_put(d), jax.device_put(c)))
     jax.block_until_ready(frames[-1])
 
+    # The steady-state hot path builds ONE pyramid per frame and tracks
+    # against the cached previous pyramid, exactly like
+    # `runtime.session.SLAMSession.process_frame`.
     @jax.jit
-    def step(depth_prev, rgb_prev, depth_cur, rgb_cur, T_world, motion):
-        prev_pyr = camera.build_frame_pyramid(
-            depth_prev, cam, levels=cfg.icp.levels, rgb=rgb_prev
-        )
+    def step(prev_pyr, depth_cur, rgb_cur, T_world, motion):
         cur_pyr = camera.build_frame_pyramid(
             depth_cur, cam, levels=cfg.icp.levels, rgb=rgb_cur
         )
-        return track_frame(prev_pyr, cur_pyr, T_world, motion, cam, cfg.icp)
+        T, m, res = track_frame(prev_pyr, cur_pyr, T_world, motion, cam, cfg.icp)
+        return cur_pyr, T, m, res
 
+    pyramid = jax.jit(
+        lambda d, c: camera.build_frame_pyramid(d, cam, levels=cfg.icp.levels, rgb=c)
+    )
     T = jnp.eye(4)
     motion = jnp.eye(4)
 
     # warmup / compile
-    T, motion, res = step(*frames[0], *frames[1], T, motion)
+    pyr = pyramid(*frames[0])
+    pyr, T, motion, res = step(pyr, *frames[1], T, motion)
     jax.block_until_ready(T)
 
-    iters = 60
+    iters = 120
     t0 = time.perf_counter()
     for i in range(iters):
-        a = frames[i % (n_frames - 1)]
         b = frames[i % (n_frames - 1) + 1]
-        T, motion, res = step(*a, *b, T, motion)
+        pyr, T, motion, res = step(pyr, *b, T, motion)
     jax.block_until_ready(T)
     dt = time.perf_counter() - t0
     fps = iters / dt
