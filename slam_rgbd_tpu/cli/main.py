@@ -39,9 +39,19 @@ def _make_source(args, cfg):
     from slam_rgbd_tpu.io import stream as st
 
     if args.input and os.path.isdir(args.input):
+        import glob
+
+        if not os.path.exists(os.path.join(args.input, "depth.txt")) and glob.glob(
+            os.path.join(args.input, "*.depth")
+        ):
+            from slam_rgbd_tpu.io.icl_nuim import ICLNUIMSequence
+
+            seq = ICLNUIMSequence(args.input, cfg.camera)
+            return seq, seq.groundtruth()
         from slam_rgbd_tpu.io.tum import TUMSequence
 
-        return TUMSequence(args.input, cfg.camera), None
+        seq = TUMSequence(args.input, cfg.camera)
+        return seq, seq.groundtruth()
     if args.input and args.input.endswith(".rgbd"):
         return st.open_reader(args.input, prefetch=cfg.stream.prefetch), None
     if args.input and args.input.startswith("synthetic"):

@@ -80,8 +80,12 @@ class SLAMSession:
     once — shapes are fixed by the config.
     """
 
-    def __init__(self, config: SLAMConfig):
+    def __init__(self, config: SLAMConfig, metrics=None):
+        from slam_rgbd_tpu.runtime.profiling import StageTimer
+
         self.cfg = config
+        self.metrics = metrics  # optional profiling.MetricsLog
+        self.timer = StageTimer()
         cam = config.camera
         self.n_kp = config.orb.n_features
         self.map = smap.empty_map(config.keyframes, self._kp_capacity())
@@ -178,9 +182,27 @@ class SLAMSession:
 
     def _finish(self, st: FrameStats, t0: float):
         st.track_ms = (time.monotonic() - t0) * 1e3
+        self.timer.add("frame", st.track_ms / 1e3)
         self.state.frames += 1
         self.state.last_heartbeat = time.monotonic()
         self.stats.append(st)
+        every = self.cfg.runtime.metrics_every_frames
+        if self.metrics is not None and every and self.state.frames % every == 0:
+            recent = self.stats[-every:]
+            mean_ms = sum(s.track_ms for s in recent) / len(recent)
+            self.metrics.log(
+                "frame_window",
+                frames=self.state.frames,
+                fps=round(1e3 / max(mean_ms, 1e-6), 2),
+                mean_track_ms=round(mean_ms, 3),
+                inlier_fraction=round(
+                    sum(s.inlier_fraction for s in recent) / len(recent), 4
+                ),
+                keyframes=self.state.keyframes,
+                map_points=self.map_point_count(),
+                loops=self.state.loops,
+                lost=self.state.lost,
+            )
 
     def _log_pose(self, ts: float):
         self._traj_ts.append(ts)
