@@ -155,6 +155,17 @@ def cmd_export(args):
         next(it)
     ts, depth, rgb = next(it)
     pts, colors = frame_to_pointcloud(depth, rgb, cfg.camera, stride=args.stride)
+    if args.output.endswith(".ppm"):
+        # rendered snapshot via the native software viewer (C6/C10 parity)
+        from slam_rgbd_tpu.viz.native import NativeViewer, native_available
+
+        if not native_available():
+            raise SystemExit("native viewer unavailable (g++/make missing?)")
+        with NativeViewer() as vw:
+            vw.set_target(0.0, 0.0, float(np.median(pts[:, 2])))
+            vw.write_ppm(args.output, vw.render(pts, colors))
+        print(f"{len(pts)} points rendered -> {args.output}")
+        return 0
     save_ply(args.output, pts, colors)
     print(f"{len(pts)} points -> {args.output}")
     return 0
@@ -238,7 +249,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("groundtruth")
     pe.set_defaults(fn=cmd_eval)
 
-    px = sub.add_parser("export", help="export a frame as a PLY point cloud")
+    px = sub.add_parser("export", help="export a frame: .ply point cloud or .ppm render")
     px.add_argument("input")
     px.add_argument("output")
     px.add_argument("--frame", type=int, default=0)
