@@ -1,0 +1,227 @@
+"""Asynchronous SLAM backend: BA + loop closure off the tracking thread.
+
+The reference decouples SLAM processing from ingest with a dedicated
+thread and a bounded queue with a drop policy
+(`Youth.Source/AlgorithmModule/SLAM.cpp:32-63,158-169`). Here the split is
+between the *frontend* (per-frame dense tracking + keyframe insertion,
+latency-critical) and the *backend* (sliding-window local BA, loop
+detection/verification, pose graph — heavy, only correctness-critical),
+done the TPU way: `MapState` is an immutable pytree, so a "snapshot" for
+the backend is free (a reference), and the backend's output is a pure
+function of that snapshot — no locks around the map, ever.
+
+Queue discipline (the part that makes merging trivial AND bounded):
+
+  * at most ONE job in flight; submitting while busy is a recorded skip
+    (the drop policy of `SLAM.cpp:162-168` — sliding windows overlap, so
+    the next keyframe's BA covers the skipped one's observations);
+  * the frontend merges any finished result BEFORE inserting the next
+    keyframe, so a snapshot always contains every prior correction, and
+    between snapshot and merge the frontend only *tracks* — it never
+    moves keyframes or culls points. Merging is therefore exact: old
+    keyframe slots take the backend's optimized poses verbatim, and the
+    live pose is re-anchored with one rigid correction.
+
+Both the inline (synchronous) and threaded paths run the same
+`backend_pass`, so `async` changes latency, never the math.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import threading
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from slam_rgbd_tpu.backend import ba as ba_mod
+from slam_rgbd_tpu.backend import loop as loop_mod
+from slam_rgbd_tpu.backend import pose_graph as pg_mod
+from slam_rgbd_tpu.core.config import SLAMConfig
+from slam_rgbd_tpu.mapping import map as smap
+
+log = logging.getLogger("slam_rgbd_tpu.backend")
+
+
+@dataclass
+class BackendJob:
+    map: smap.MapState  # immutable snapshot
+    edges: pg_mod.EdgeList
+    n_edges: jax.Array
+    kf_idx: int  # newest keyframe slot at snapshot time
+
+
+@dataclass
+class BackendResult:
+    snap_kf_idx: int
+    kf_pose: jax.Array  # (M, 4, 4) snapshot poses after BA (+ pose graph)
+    pt_xyz: jax.Array  # (P, 3)
+    pt_adjusted: jax.Array  # (P,) bool — points BA actually re-estimated
+    loop_edge: Optional[tuple] = None  # (i, j, T_rel, weight) to append
+    loop_closed: bool = False
+    ba_rmse: float = 0.0
+    backend_ms: float = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _adjusted_mask(point_id_w, kp_ok_w, valid_w, P: int):
+    """(P,) bool: map points observed by the BA window (the only ones BA
+    moves)."""
+    ok = kp_ok_w & valid_w[:, None] & (point_id_w >= 0)
+    idx = jnp.where(ok, point_id_w, P)
+    return jnp.zeros((P + 1,), bool).at[idx].set(True)[:P]
+
+
+def backend_pass(
+    m: smap.MapState,
+    edges: pg_mod.EdgeList,
+    n_edges: jax.Array,
+    kf_idx: int,
+    cfg: SLAMConfig,
+) -> BackendResult:
+    """One backend iteration on a map snapshot: local BA, then a loop
+    attempt (candidate -> geometric verification -> pose graph). Pure in
+    the snapshot; the caller merges the result (`SLAMSession._apply_backend`).
+    """
+    t0 = time.monotonic()
+    out = BackendResult(
+        snap_kf_idx=kf_idx,
+        kf_pose=m.kf_pose,
+        pt_xyz=m.pt_xyz,
+        pt_adjusted=jnp.zeros((m.capacity_pt,), bool),
+    )
+
+    # ---- local BA over the sliding window (free recent half, fixed
+    # older observers — see session docstring) ------------------------------
+    if int(m.n_kf) >= 3:
+        w = cfg.ba.window
+        idx, valid = smap.local_window(m, 2 * w)
+        free = jnp.arange(2 * w) >= w
+        res = ba_mod.local_ba(
+            m.kf_pose[idx], valid, m.pt_xyz,
+            m.kp_uv[idx], m.kp_pts[idx][..., 2],
+            m.point_id[idx],
+            m.kp_ok[idx] & valid[:, None],
+            cfg.camera, cfg.ba, free_mask=free,
+        )
+        poses = m.kf_pose.at[idx].set(
+            jnp.where(valid[:, None, None], res.kf_pose, m.kf_pose[idx])
+        )
+        out.kf_pose = poses
+        out.pt_xyz = res.pt_xyz
+        out.pt_adjusted = _adjusted_mask(
+            m.point_id[idx], m.kp_ok[idx], valid, P=m.capacity_pt
+        )
+        out.ba_rmse = float(res.rmse_px)
+        m = m.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
+
+    # ---- loop closure ------------------------------------------------------
+    if int(m.n_kf) > cfg.ba.loop_min_interval:
+        cand = loop_mod.find_loop_candidate(
+            m, jnp.int32(kf_idx),
+            min_interval=cfg.ba.loop_min_interval,
+            min_score=cfg.ba.loop_min_score,
+        )
+        if bool(cand.ok):
+            ver = loop_mod.verify_loop(m, jnp.int32(kf_idx), cand.kf_idx)
+            if bool(ver.ok):
+                # tentative edge cand -> query for the pose graph
+                edges2, n_edges2 = edges.add(
+                    n_edges, int(cand.kf_idx), kf_idx, ver.T_rel, weight=5.0
+                )
+                pg = pg_mod.optimize_pose_graph(
+                    m.kf_pose, m.kf_valid, edges2,
+                    iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
+                )
+                out.kf_pose = pg.poses
+                out.loop_edge = (int(cand.kf_idx), kf_idx, ver.T_rel, 5.0)
+                out.loop_closed = True
+                log.info(
+                    "loop closed: KF%d -> KF%d (%d inliers)",
+                    kf_idx, int(cand.kf_idx), int(ver.inliers),
+                )
+
+    out.backend_ms = (time.monotonic() - t0) * 1e3
+    return out
+
+
+class BackendWorker:
+    """One backend thread, one in-flight job, one pending result.
+
+    `submit` is non-blocking: while a job is running (or a result is
+    unconsumed) the new job is dropped and counted — the frontend never
+    waits on the backend (`SLAM.cpp:162-168` drop semantics).
+    """
+
+    def __init__(self, cfg: SLAMConfig):
+        self.cfg = cfg
+        self._cv = threading.Condition()
+        self._job: Optional[BackendJob] = None
+        self._result: Optional[BackendResult] = None
+        self._stop = False
+        self.skipped = 0
+        self.completed = 0
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="slam-backend"
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------- frontend
+    def submit(self, job: BackendJob) -> bool:
+        with self._cv:
+            if self._job is not None or self._result is not None:
+                self.skipped += 1
+                return False
+            self._job = job
+            self._cv.notify_all()
+            return True
+
+    def poll(self) -> Optional[BackendResult]:
+        with self._cv:
+            r, self._result = self._result, None
+            return r
+
+    def flush(self, timeout: float = 30.0) -> Optional[BackendResult]:
+        """Wait for the in-flight job (if any) and return its result."""
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while self._job is not None and not self._stop:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    log.error("backend flush timed out")
+                    return None
+                self._cv.wait(timeout=min(remaining, 0.5))
+            r, self._result = self._result, None
+            return r
+
+    def stop(self, timeout: float = 10.0):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
+
+    # -------------------------------------------------------------- backend
+    def _run(self):
+        while True:
+            with self._cv:
+                while self._job is None and not self._stop:
+                    self._cv.wait(timeout=0.5)
+                if self._stop:
+                    return
+                job = self._job
+            try:
+                result = backend_pass(
+                    job.map, job.edges, job.n_edges, job.kf_idx, self.cfg
+                )
+            except Exception:  # noqa: BLE001 — surfaced via log + liveness
+                log.exception("backend pass failed; dropping job")
+                result = None
+            with self._cv:
+                self._result = result
+                self._job = None
+                self.completed += 1
+                self._cv.notify_all()

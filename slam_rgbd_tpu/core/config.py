@@ -134,6 +134,16 @@ class KeyframeConfig:
     kf_min_inlier_ratio: float = 0.35
     # Co-visibility: two KFs are connected if they share >= this many points.
     covis_min_shared: int = 15
+    # Map maintenance (ORB-SLAM-style recent-point culling; the upkeep
+    # behind the reference's map-point query surface, `SLAM.cpp:204-218`):
+    # points observed < cull_min_obs times and not re-observed within
+    # cull_max_age_kf keyframes are culled; their slots recycle.
+    cull_min_obs: int = 2
+    cull_max_age_kf: int = 3
+    # Duplicate-point merge gate: a keypoint within merge_radius metres of
+    # an existing point with near-identical descriptor reuses its id
+    # instead of spawning a duplicate.
+    merge_radius: float = 0.05
 
 
 @dataclass(frozen=True)

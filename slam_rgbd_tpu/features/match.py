@@ -49,7 +49,17 @@ def hamming_matrix(signs1: jax.Array, signs2: jax.Array) -> jax.Array:
     return 0.5 * (n_bits - s)
 
 
-@functools.partial(jax.jit, static_argnames=("max_distance", "ratio", "cross_check"))
+def _use_pallas(backend: str, k1: int, k2: int) -> bool:
+    if backend == "xla":
+        return False
+    if backend == "auto" and jax.default_backend() != "tpu":
+        return False
+    return k1 % 128 == 0 and k2 % 128 == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_distance", "ratio", "cross_check", "backend")
+)
 def match(
     signs1: jax.Array,
     valid1: jax.Array,
@@ -58,8 +68,25 @@ def match(
     max_distance: float = 64.0,
     ratio: float = 0.9,
     cross_check: bool = True,
+    backend: str = "auto",
 ) -> Matches:
-    """Mutual-nearest Hamming matching with ratio test, fixed shapes."""
+    """Mutual-nearest Hamming matching with ratio test, fixed shapes.
+
+    `backend="auto"` uses the fused Pallas top-2 kernel on TPU when both
+    sets are 128-aligned (the framework's capacities are); results are
+    identical to the XLA path (sign-matmul Hamming is integer-exact and
+    both paths tie-break argmin to the first occurrence).
+    """
+    if _use_pallas(backend, signs1.shape[0], signs2.shape[0]):
+        from slam_rgbd_tpu.ops.hamming_pallas import match_pallas
+
+        idx1, idx2, dist, ok = match_pallas(
+            signs1, valid1, signs2, valid2,
+            max_distance=max_distance, ratio=ratio, cross_check=cross_check,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return Matches(idx1=idx1, idx2=idx2, distance=dist, valid=ok & valid1)
+
     d = hamming_matrix(signs1, signs2)  # (K1, K2)
     big = jnp.float32(1e9)
     d = jnp.where(valid1[:, None] & valid2[None, :], d, big)

@@ -30,6 +30,9 @@ from slam_rgbd_tpu.core.config import CameraIntrinsics
 
 
 # --------------------------------------------------------------------- PNG IO
+_WARNED_SLOW_PNG = False
+
+
 def _read_png(path: str) -> np.ndarray:
     """Minimal PNG decoder: 8-bit RGB/gray and 16-bit gray, non-interlaced."""
     try:  # prefer a real decoder when available
@@ -37,7 +40,17 @@ def _read_png(path: str) -> np.ndarray:
 
         return np.asarray(PIL.Image.open(path))
     except ImportError:
-        pass
+        global _WARNED_SLOW_PNG
+        if not _WARNED_SLOW_PNG:
+            _WARNED_SLOW_PNG = True
+            import logging
+
+            logging.getLogger("slam_rgbd_tpu.io.tum").warning(
+                "PIL not available — using the built-in pure-Python PNG "
+                "decoder; sub/average/paeth-filtered rows decode with a "
+                "per-byte loop (minutes for a long sequence). Install "
+                "Pillow for real-data runs."
+            )
 
     with open(path, "rb") as f:
         data = f.read()
@@ -125,19 +138,28 @@ def associate(a, b, max_offset: float = 0.02):
     """Greedy nearest-timestamp association between two (ts, ...) lists.
 
     Same contract as the TUM benchmark's associate.py: each entry used at
-    most once, pairs sorted by |dt| then by time.
+    most once, pairs sorted by |dt| then by time. Candidate generation is
+    one numpy broadcast (a fr2-length sequence has ~9M timestamp pairs —
+    a Python double loop took minutes; this takes milliseconds). Only the
+    (short) mutual-exclusion sweep stays sequential, as it must: each
+    acceptance invalidates later candidates.
     """
-    pairs = []
-    for i, (ta, _) in enumerate(a):
-        for j, (tb, _) in enumerate(b):
-            if abs(ta - tb) < max_offset:
-                pairs.append((abs(ta - tb), i, j))
-    pairs.sort()
-    used_a, used_b, out = set(), set(), []
-    for _, i, j in pairs:
-        if i not in used_a and j not in used_b:
-            used_a.add(i)
-            used_b.add(j)
+    ta = np.asarray([t for t, _ in a])
+    tb = np.asarray([t for t, _ in b])
+    if len(ta) == 0 or len(tb) == 0:
+        return []
+    dt = np.abs(ta[:, None] - tb[None, :])
+    ii, jj = np.nonzero(dt < max_offset)
+    dv = dt[ii, jj]
+    order = np.lexsort((jj, ii, dv))  # sort by |dt|, then i, then j
+    used_a = np.zeros(len(ta), dtype=bool)
+    used_b = np.zeros(len(tb), dtype=bool)
+    out = []
+    for k in order:
+        i, j = int(ii[k]), int(jj[k])
+        if not used_a[i] and not used_b[j]:
+            used_a[i] = True
+            used_b[j] = True
             out.append((i, j))
     out.sort()
     return out

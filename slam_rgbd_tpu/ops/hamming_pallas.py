@@ -113,10 +113,168 @@ def match_pallas(
     signs1, valid1, signs2, valid2,
     max_distance: float = 64.0,
     ratio: float = 0.9,
+    cross_check: bool = True,
     interpret: bool = False,
 ):
-    """Drop-in for `features.match.match` (without cross-check) using the
-    fused kernel. Returns (idx2, distance, valid) like the sharded path."""
-    best, second, idx = hamming_top2(signs1, valid1, signs2, valid2, interpret=interpret)
+    """Drop-in for `features.match.match` using the fused kernel.
+
+    Cross-check runs the kernel once more with the operands swapped
+    (columns never materialize, so mutual-nearest costs a second matmul
+    pass instead of an HBM-resident distance matrix). Returns a
+    `features.match.Matches`-shaped tuple (idx1, idx2, distance, valid).
+    """
+    best, second, idx = hamming_top2(
+        signs1, valid1, signs2, valid2, interpret=interpret
+    )
     ok = (best < max_distance) & (best < ratio * second) & valid1
-    return idx, best, ok
+    if cross_check:
+        _, _, idx_rev = hamming_top2(
+            signs2, valid2, signs1, valid1, interpret=interpret
+        )
+        ok = ok & (idx_rev[idx] == jnp.arange(signs1.shape[0]))
+    return (
+        jnp.arange(signs1.shape[0], dtype=jnp.int32),
+        idx.astype(jnp.int32),
+        best,
+        ok,
+    )
+
+
+# =========================================================================
+# Gated map-association kernel
+# =========================================================================
+
+_K2_TILE = 2048  # map-point tile: (256, 2048) bf16 signs + (128, 2048) f32
+# distances stay comfortably inside VMEM at any map capacity
+
+
+def _make_gated_kernel(n_bits, px_radius, z_rel_tol, merge_radius, n2):
+    px2 = px_radius * px_radius
+    # signed square: merge_radius < 0 disables tier 2 outright (dist^2 can
+    # be epsilon-negative for coincident points, so 0 is not a safe "off")
+    mr2 = merge_radius * abs(merge_radius)
+
+    def kernel(s1_ref, q_ref, s2t_ref, p_ref,
+               d1_ref, i1_ref, d2_ref, i2_ref):
+        """Grid (K1/TILE, K2/_K2_TILE); j revisits the i-th output rows.
+
+        q_ref: (TILE, 8) f32 [u, v, z, valid, xw, yw, zw, |pw|^2]
+        p_ref: (8, K2T) f32 [pu, pv, z, ok, x, y, z, |p|^2]
+        Outputs (TILE, 1): tier-1 (pixel+depth gate) best distance/index,
+        tier-2 (3D merge gate) best distance/index.
+        """
+        j = pl.program_id(1)
+        s = jnp.dot(s1_ref[:], s2t_ref[:], preferred_element_type=jnp.float32)
+        d = 0.5 * (n_bits - s)  # (TILE, K2T) Hamming
+
+        q = q_ref[:]
+        p = p_ref[:]
+        base_ok = (q[:, 3:4] > 0.5) & (p[3:4, :] > 0.5)
+        d = jnp.where(base_ok, d, _BIG)
+
+        # tier 1: reprojection pixel gate + relative depth agreement
+        du = q[:, 0:1] - p[0:1, :]
+        dv = q[:, 1:2] - p[1:2, :]
+        z_ok = jnp.abs(q[:, 2:3] - p[2:3, :]) < z_rel_tol * jnp.maximum(
+            q[:, 2:3], 0.3
+        )
+        d1 = jnp.where((du * du + dv * dv < px2) & z_ok, d, _BIG)
+
+        # tier 2: 3D world-distance gate (merge / spawn suppression);
+        # dist^2 via the matmul identity — the (TILE, 3) x (3, K2T) cross
+        # term is one more MXU pass, nothing materializes in HBM.
+        cross = jnp.dot(q[:, 4:7], p[4:7, :], preferred_element_type=jnp.float32)
+        dist2 = q[:, 7:8] + p[7:8, :] - 2.0 * cross
+        d2 = jnp.where(dist2 < mr2, d, _BIG)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * d.shape[1]
+
+        def block_min(dm):
+            best = jnp.min(dm, axis=1, keepdims=True)
+            idx = jnp.min(
+                jnp.where(dm <= best, col, jnp.int32(n2)), axis=1, keepdims=True
+            )
+            return best, idx
+
+        b1, ix1 = block_min(d1)
+        b2, ix2 = block_min(d2)
+
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:], i1_ref[:] = b1, ix1
+            d2_ref[:], i2_ref[:] = b2, ix2
+
+        @pl.when(j > 0)
+        def _():
+            # strict '<' keeps the EARLIER block's index on ties, matching
+            # jnp.argmin's first-occurrence semantics
+            for d_ref, i_ref, b, ix in ((d1_ref, i1_ref, b1, ix1),
+                                        (d2_ref, i2_ref, b2, ix2)):
+                better = b < d_ref[:]
+                i_ref[:] = jnp.where(better, ix, i_ref[:])
+                d_ref[:] = jnp.where(better, b, d_ref[:])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("px_radius", "z_rel_tol", "merge_radius", "interpret"),
+)
+def gated_match(
+    signs1: jax.Array,  # (K1, 256) int8 query descriptors
+    q_meta: jax.Array,  # (K1, 8) f32 [u, v, z, valid, xw, yw, zw, |pw|^2]
+    signs2: jax.Array,  # (K2, 256) int8 map descriptors
+    p_meta: jax.Array,  # (K2, 8) f32 [pu, pv, z, ok, x, y, z, |p|^2]
+    px_radius: float = 6.0,
+    z_rel_tol: float = 0.08,
+    merge_radius: float = 0.05,
+    interpret: bool = False,
+):
+    """Fused two-tier gated matching for `mapping.map.match_against_map`.
+
+    One kernel computes Hamming distances on the MXU and applies BOTH
+    association tiers in VMEM — the reprojection pixel/depth gate (BA
+    observations) and the 3D merge gate (duplicate suppression) — so the
+    (K1, K2) distance matrix and the five gate matrices of the XLA path
+    never reach HBM. Returns (d1, idx1, d2, idx2), each (K1,); callers
+    apply their descriptor-distance thresholds.
+    """
+    k1, n_bits = signs1.shape
+    k2 = signs2.shape[0]
+    assert k1 % _TILE == 0, f"K1={k1} must be a multiple of {_TILE}"
+    k2t = min(_K2_TILE, k2)
+    assert k2 % k2t == 0, f"K2={k2} must be a multiple of {k2t}"
+
+    s1 = signs1.astype(jnp.bfloat16)
+    s2t = signs2.astype(jnp.bfloat16).T  # (256, K2)
+    pm = p_meta.T  # (8, K2)
+
+    grid = (k1 // _TILE, k2 // k2t)
+    kernel = _make_gated_kernel(n_bits, px_radius, z_rel_tol, merge_radius, k2)
+    out_shape = (
+        jax.ShapeDtypeStruct((k1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((k1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((k1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((k1, 1), jnp.int32),
+    )
+    row_spec = pl.BlockSpec((_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    d1, i1, d2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, n_bits), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bits, k2t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k2t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k1 * k2 * (n_bits + 3),
+            bytes_accessed=(k1 + k2) * (n_bits * 2 + 32) + k1 * 16,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(s1, q_meta, s2t, pm)
+    return d1[:, 0], i1[:, 0], d2[:, 0], i2[:, 0]

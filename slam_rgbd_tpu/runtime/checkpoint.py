@@ -5,10 +5,11 @@ recordings (handled by `io.stream`) and result export (TUM trajectories,
 `SLAM.cpp:187-188`; its map *save* is an unimplemented stub). Here the
 entire SLAM state — map pytree, pose-graph edges, live pose, trajectory —
 checkpoints to a single directory and restores into a running session,
-giving真 resume-from-checkpoint that the reference only intended.
+giving the resume-from-checkpoint capability the reference only intended.
 
-Uses orbax-checkpoint when importable (async-capable, production path),
-falling back to a plain npz of the flattened pytree (same fidelity).
+Format: a compressed npz of the flattened pytree plus a JSON metadata
+sidecar — every leaf is a fixed-capacity array, so a flat archive has the
+same fidelity as a structured checkpointer.
 """
 
 from __future__ import annotations

@@ -20,54 +20,34 @@ from __future__ import annotations
 
 import logging
 import threading
-import time
 from typing import Iterable, Optional
-
-import numpy as np
 
 from slam_rgbd_tpu.core.config import SLAMConfig
 from slam_rgbd_tpu.io import stream as st
+from slam_rgbd_tpu.runtime.profiling import MetricsLog
 from slam_rgbd_tpu.runtime.session import SLAMSession
 from slam_rgbd_tpu.runtime.watchdog import GracefulShutdown, Watchdog
 
 log = logging.getLogger("slam_rgbd_tpu.runner")
 
 
-class MetricsLog:
-    """Structured per-interval metrics (SURVEY.md §5 observability plan)."""
-
-    def __init__(self):
-        self.records: list[dict] = []
-
-    def emit(self, session: SLAMSession, queue_depth: int):
-        recent = session.stats[-30:]
-        if not recent:
-            return
-        rec = {
-            "t": time.time(),
-            "frames": session.state.frames,
-            "fps": 1e3 / max(np.mean([s.track_ms for s in recent]), 1e-6),
-            "keyframes": session.state.keyframes,
-            "map_points": session.map_point_count(),
-            "loops": session.state.loops,
-            "lost": session.state.lost,
-            "queue_depth": queue_depth,
-            "mean_inlier_fraction": float(np.mean([s.inlier_fraction for s in recent])),
-        }
-        self.records.append(rec)
-        log.info("metrics: %s", rec)
-
-
 class PipelineRunner:
-    def __init__(self, config: SLAMConfig, source: Iterable[st.Frame]):
+    def __init__(self, config: SLAMConfig, source: Iterable[st.Frame],
+                 async_backend: bool = True):
         self.cfg = config
         self.source = source
-        self.session = SLAMSession(config)
+        # One metrics sink, one schema: the session logs "frame_window"
+        # records into it and the runner adds "queue" records.
+        self.metrics = MetricsLog()
+        # The pipeline decouples BA/loop closure from tracking by default
+        # (the reference's dedicated processing thread, `SLAM.cpp:32-63`).
+        self.session = SLAMSession(
+            config, metrics=self.metrics, async_backend=async_backend
+        )
         self.queue = st.BoundedFrameQueue(
             config.stream.queue_capacity, config.stream.queue_drop_to
         )
         self.control = st.ControlChannel()
-        self.metrics = MetricsLog()
         self.recorder: Optional[st.StreamRecorder] = None
         self.playback_source: Optional[Iterable] = None
         self._threads: list[threading.Thread] = []
@@ -136,7 +116,9 @@ class PipelineRunner:
             ts, depth, rgb = item
             self.session.process_frame(ts, depth, rgb)
             if self.session.state.frames % self.cfg.runtime.metrics_every_frames == 0:
-                self.metrics.emit(self.session, len(self.queue))
+                self.metrics.log(
+                    "queue", depth=len(self.queue), dropped=self.queue.dropped
+                )
 
     # ------------------------------------------------------------------- run
     def run(self, threads: bool = True) -> SLAMSession:
@@ -167,5 +149,6 @@ class PipelineRunner:
         self.watchdog.stop()
         if self.recorder is not None:
             self.recorder.close()
+        self.session.close()  # drain + stop the backend worker
         self.session.state.running = False
         return clean

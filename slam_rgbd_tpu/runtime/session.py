@@ -23,6 +23,7 @@ for device errors (`sensorModule.c:216-239`).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from dataclasses import dataclass, field
@@ -32,9 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from slam_rgbd_tpu.backend import ba as ba_mod
-from slam_rgbd_tpu.backend import loop as loop_mod
 from slam_rgbd_tpu.backend import pose_graph as pg_mod
+from slam_rgbd_tpu.backend import worker as bworker
 from slam_rgbd_tpu.core import camera, se3
 from slam_rgbd_tpu.core.config import SLAMConfig
 from slam_rgbd_tpu.eval.trajectory import save_trajectory_tum
@@ -45,6 +45,39 @@ from slam_rgbd_tpu.mapping import map as smap
 from slam_rgbd_tpu.odometry.icp import track_frame
 
 log = logging.getLogger("slam_rgbd_tpu.session")
+
+
+@functools.partial(jax.jit, static_argnames=("orb", "cam"))
+def _features_jit(depth_raw, rgb, orb, cam):
+    """Whole feature stage as ONE compiled program (detect + describe +
+    keypoint depth): a single device dispatch per keyframe instead of
+    three jit calls plus ~20 eager ops — eager dispatch is expensive on a
+    remote-tunneled TPU and serializes the async backend."""
+    intensity = camera.rgb_to_intensity(rgb) / 255.0
+    kp, pyr = fdetect.detect_pyramid(
+        intensity,
+        n_features=orb.n_features,
+        n_levels=orb.n_levels,
+        scale_factor=orb.scale_factor,
+        threshold=orb.fast_threshold,
+        min_threshold=orb.fast_min_threshold,
+    )
+    desc = forb.describe(kp, pyr, orb.scale_factor)
+    depth_m = camera.depth_to_metres(depth_raw, cam)
+    pts, ok = forb.keypoint_depth(kp, depth_m, cam)
+    return kp, desc, pts, ok & kp.valid
+
+
+@functools.partial(jax.jit, static_argnames=("kcfg",))
+def _frame_summary(T_world, last_kf_T, valid_fraction, rmse, kcfg):
+    """All per-frame host-control scalars in one (4,) array: inlier
+    fraction, ICP rmse, pose finiteness, keyframe decision."""
+    finite = jnp.all(jnp.isfinite(T_world))
+    should = smap.should_insert_keyframe(T_world, last_kf_T, valid_fraction, kcfg)
+    return jnp.stack([
+        valid_fraction, rmse,
+        finite.astype(jnp.float32), should.astype(jnp.float32),
+    ])
 
 
 @dataclass
@@ -80,7 +113,8 @@ class SLAMSession:
     once — shapes are fixed by the config.
     """
 
-    def __init__(self, config: SLAMConfig, metrics=None):
+    def __init__(self, config: SLAMConfig, metrics=None,
+                 async_backend: bool = False):
         from slam_rgbd_tpu.runtime.profiling import StageTimer
 
         self.cfg = config
@@ -92,6 +126,12 @@ class SLAMSession:
         self.edges = pg_mod.EdgeList.empty(4 * config.keyframes.max_keyframes)
         self.n_edges = jnp.int32(0)
         self.state = SessionState()
+        # BA/loop-closure execution: inline (synchronous, deterministic) or
+        # on the backend worker thread (`backend/worker.py` — the decoupled
+        # processing thread of `SLAM.cpp:32-63`, TPU-style). Same math both
+        # ways; async merges corrections at the next frame boundary.
+        self.async_backend = async_backend
+        self.worker = bworker.BackendWorker(config) if async_backend else None
 
         self.T_world = jnp.eye(4)
         self.motion = jnp.eye(4)
@@ -121,23 +161,18 @@ class SLAMSession:
         )
 
     def _features(self, depth_raw, rgb):
-        intensity = camera.rgb_to_intensity(jnp.asarray(rgb)) / 255.0
-        kp, pyr = fdetect.detect_pyramid(
-            intensity,
-            n_features=self.cfg.orb.n_features,
-            n_levels=self.cfg.orb.n_levels,
-            scale_factor=self.cfg.orb.scale_factor,
-            threshold=self.cfg.orb.fast_threshold,
-            min_threshold=self.cfg.orb.fast_min_threshold,
+        return _features_jit(
+            jnp.asarray(depth_raw), jnp.asarray(rgb), self.cfg.orb, self.cfg.camera
         )
-        desc = forb.describe(kp, pyr, self.cfg.orb.scale_factor)
-        depth_m = camera.depth_to_metres(jnp.asarray(depth_raw), self.cfg.camera)
-        pts, ok = forb.keypoint_depth(kp, depth_m, self.cfg.camera)
-        return kp, desc, pts, ok & kp.valid
 
     # ------------------------------------------------------------- main loop
     def process_frame(self, ts: float, depth_raw: np.ndarray, rgb: np.ndarray) -> FrameStats:
         t0 = time.monotonic()
+        # merge any finished backend work FIRST: the snapshot discipline
+        # (worker.py docstring) relies on corrections landing before the
+        # next keyframe can be inserted.
+        if self.worker is not None:
+            self._apply_backend(self.worker.poll())
         pyr = self._pyramid(depth_raw, rgb)
 
         if self.prev_pyr is None:
@@ -156,9 +191,17 @@ class SLAMSession:
             self.prev_pyr, pyr, self.T_world, self.motion,
             self.cfg.camera, self.cfg.icp,
         )
-        vf = float(res.valid_fraction)
-        tracking_ok = vf > 0.25 and bool(np.isfinite(np.asarray(self.T_world)).all())
-        st = FrameStats(ts, 0.0, vf, float(res.rmse), False, tracking_ok)
+        # ONE small device->host transfer for every per-frame control
+        # decision (inlier fraction, finiteness, keyframe policy) — per-
+        # frame syncs are what serialize the async backend split.
+        vf, rmse, finite, should = (
+            float(x) for x in np.asarray(_frame_summary(
+                self.T_world, self.last_kf_T, res.valid_fraction, res.rmse,
+                self.cfg.keyframes,
+            ))
+        )
+        tracking_ok = vf > 0.25 and finite > 0.5
+        st = FrameStats(ts, 0.0, vf, rmse, False, tracking_ok)
 
         if not tracking_ok:
             self.state.lost += 1
@@ -167,9 +210,10 @@ class SLAMSession:
                 self.state.relocalized += 1
                 st.tracking_ok = True
                 self.motion = jnp.eye(4)
+                should = 1.0 if self._should_insert(vf) else 0.0
             # on failed reloc we keep integrating (odometry-only fallback)
 
-        if st.tracking_ok and self._should_insert(vf):
+        if st.tracking_ok and should > 0.5:
             st.is_keyframe = True
             kf_stats = self._insert_keyframe(ts, depth_raw, rgb)
             st.ba_rmse_px = kf_stats.get("ba_rmse", 0.0)
@@ -226,12 +270,15 @@ class SLAMSession:
         out: dict = {}
         kp, desc, pts, ok = self._features(depth_raw, rgb)
 
-        # associate against the map (reprojection + depth gates)
+        # associate against the map (reprojection + depth gates, plus the
+        # 3D merge tier that suppresses duplicate-point spawns)
         if int(self.map.n_kf) > 0:
             match_pid = smap.match_against_map(
                 self.map, desc.signs, ok, kp.uv, pts[:, 2], self.T_world,
                 cam=self.cfg.camera,
                 max_distance=float(self.cfg.orb.match_threshold),
+                kp_pts=pts,
+                merge_radius=self.cfg.keyframes.merge_radius,
             )
         else:
             match_pid = jnp.full((pts.shape[0],), -1, jnp.int32)
@@ -253,76 +300,93 @@ class SLAMSession:
                 self.n_edges, prev_kf_idx, kf_idx, T_rel, weight=1.0
             )
 
-        # local BA over the sliding window
-        if int(self.map.n_kf) >= 3:
-            out["ba_rmse"] = self._run_local_ba()
+        # map maintenance: cull never-reobserved points; slots recycle on
+        # the next insert (`mapping.map.cull_points`). Runs BEFORE the
+        # backend snapshot so BA never optimizes doomed points.
+        kcfg = self.cfg.keyframes
+        if kcfg.cull_min_obs > 0:
+            self.map, n_culled = smap.cull_points(
+                self.map, jnp.int32(kf_idx),
+                min_obs=kcfg.cull_min_obs, max_age_kf=kcfg.cull_max_age_kf,
+            )
+            out["culled"] = n_culled
 
-        # loop closure attempt
-        if int(self.map.n_kf) > self.cfg.ba.loop_min_interval:
-            out["loop"] = self._try_loop_closure(kf_idx)
+        # backend: local BA + loop closure + pose graph — inline, or
+        # handed to the worker thread (snapshot of the immutable map).
+        job = bworker.BackendJob(
+            map=self.map, edges=self.edges, n_edges=self.n_edges, kf_idx=kf_idx
+        )
+        if self.worker is not None:
+            self.worker.submit(job)  # busy => recorded skip, never blocks
+        else:
+            res = bworker.backend_pass(
+                job.map, job.edges, job.n_edges, job.kf_idx, self.cfg
+            )
+            self._apply_backend(res)
+            out["ba_rmse"] = res.ba_rmse
+            out["loop"] = res.loop_closed
 
         return out
 
-    def _run_local_ba(self) -> float:
-        # Camera set = last 2*window KFs; only the newest `window` poses are
-        # free. The older half are fixed observers anchoring shared points
-        # (without them repeated local BA slides the recent structure).
-        w = self.cfg.ba.window
-        idx, valid = smap.local_window(self.map, 2 * w)
-        free = jnp.arange(2 * w) >= w
-        res = ba_mod.local_ba(
-            self.map.kf_pose[idx], valid, self.map.pt_xyz,
-            self.map.kp_uv[idx], self.map.kp_pts[idx][..., 2],
-            self.map.point_id[idx],
-            self.map.kp_ok[idx] & valid[:, None],
-            self.cfg.camera, self.cfg.ba, free_mask=free,
-        )
-        # write back + propagate the last-KF correction to the live pose
-        T_last_old = self.map.kf_pose[self.last_kf_idx]
-        poses = self.map.kf_pose.at[idx].set(
-            jnp.where(valid[:, None, None], res.kf_pose, self.map.kf_pose[idx])
-        )
-        self.map = self.map.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
-        T_last_new = self.map.kf_pose[self.last_kf_idx]
-        correction = T_last_new @ se3.inverse(T_last_old)
-        self.T_world = se3.normalize_rotation(correction @ self.T_world)
-        self.last_kf_T = T_last_new
-        return float(res.rmse_px)
+    def _apply_backend(self, r: Optional[bworker.BackendResult]):
+        """Merge a finished backend pass into the live state.
 
-    def _try_loop_closure(self, kf_idx: int) -> bool:
-        cand = loop_mod.find_loop_candidate(
-            self.map, jnp.int32(kf_idx),
-            min_interval=self.cfg.ba.loop_min_interval,
-            min_score=self.cfg.ba.loop_min_score,
-        )
-        if not bool(cand.ok):
-            return False
-        ver = loop_mod.verify_loop(self.map, jnp.int32(kf_idx), cand.kf_idx)
-        if not bool(ver.ok):
-            return False
-        # Edge cand -> query with measured relative pose:
-        # T_rel maps query-cam coords into cand-cam coords, i.e.
-        # T_cand_query = T_cand^-1 T_query => edge T_meas(cand->query).
-        self.edges, self.n_edges = self.edges.add(
-            self.n_edges, int(cand.kf_idx), kf_idx, ver.T_rel, weight=5.0
-        )
-        log.info("loop closed: KF%d -> KF%d (%d inliers)", kf_idx, int(cand.kf_idx),
-                 int(ver.inliers))
-        self.state.loops += 1
-        self._run_pose_graph()
-        return True
+        Keyframe slots up to the snapshot take the backend's optimized
+        poses verbatim; everything anchored after the snapshot — the live
+        pose, any newer keyframes, points spawned since — gets the rigid
+        correction of the snapshot's newest keyframe. (Under the worker's
+        merge-before-insert discipline nothing newer can exist; the
+        correction path also makes the merge safe standalone.)
+        """
+        if r is None:
+            return
+        snap = r.snap_kf_idx
+        T_old = self.map.kf_pose[snap]
+        T_new = r.kf_pose[snap]
+        C = se3.normalize_rotation(T_new @ se3.inverse(T_old))
 
-    def _run_pose_graph(self):
-        T_last_old = self.map.kf_pose[self.last_kf_idx]
-        res = pg_mod.optimize_pose_graph(
-            self.map.kf_pose, self.map.kf_valid, self.edges,
-            iters=self.cfg.ba.pg_iters, damping=self.cfg.ba.pg_damping,
+        slot = jnp.arange(self.map.capacity_kf)
+        kf_pose = jnp.where(
+            (slot <= snap)[:, None, None],
+            r.kf_pose,
+            jnp.einsum("ij,mjk->mik", C, self.map.kf_pose),
         )
-        self.map = self.map.replace(kf_pose=res.poses)
-        T_last_new = self.map.kf_pose[self.last_kf_idx]
-        correction = T_last_new @ se3.inverse(T_last_old)
-        self.T_world = se3.normalize_rotation(correction @ self.T_world)
-        self.last_kf_T = T_last_new
+        existed = self.map.pt_first_kf <= snap
+        use_ba = r.pt_adjusted & self.map.pt_valid & existed
+        pt_xyz = jnp.where(use_ba[:, None], r.pt_xyz, self.map.pt_xyz)
+        spawned_after = self.map.pt_valid & ~existed
+        pt_xyz = jnp.where(
+            spawned_after[:, None], pt_xyz @ C[:3, :3].T + C[:3, 3], pt_xyz
+        )
+        self.map = self.map.replace(kf_pose=kf_pose, pt_xyz=pt_xyz)
+
+        if r.loop_edge is not None:
+            i, j, T_rel, weight = r.loop_edge
+            self.edges, self.n_edges = self.edges.add(
+                self.n_edges, i, j, T_rel, weight=weight
+            )
+            self.state.loops += 1
+        self.T_world = se3.normalize_rotation(C @ self.T_world)
+        if self.last_kf_idx >= 0:
+            self.last_kf_T = self.map.kf_pose[self.last_kf_idx]
+        if self.metrics is not None:
+            self.metrics.log(
+                "backend", kf=snap, ba_rmse=round(r.ba_rmse, 3),
+                backend_ms=round(r.backend_ms, 2), loop=r.loop_closed,
+            )
+
+    def sync_backend(self, timeout: float = 30.0):
+        """Drain the backend worker and merge its result (no-op inline)."""
+        if self.worker is not None:
+            self._apply_backend(self.worker.poll())
+            self._apply_backend(self.worker.flush(timeout))
+
+    def close(self):
+        """Stop the backend worker (drains the in-flight job first)."""
+        if self.worker is not None:
+            self.sync_backend()
+            self.worker.stop()
+            self.worker = None
 
     # ---------------------------------------------------------- reloc/reset
     def _relocalize(self, depth_raw, rgb) -> bool:
@@ -347,7 +411,9 @@ class SLAMSession:
 
     def reset(self):
         """Full system reset (`resetSlam` parity, `SLAM.cpp:220-228`)."""
-        self.__init__(self.cfg)
+        was_async = self.async_backend
+        self.close()
+        self.__init__(self.cfg, metrics=self.metrics, async_backend=was_async)
 
     # -------------------------------------------------------------- outputs
     def poses(self) -> tuple[np.ndarray, np.ndarray]:
@@ -356,6 +422,7 @@ class SLAMSession:
         Each frame pose is re-anchored to its reference keyframe's CURRENT
         (optimized) pose: T = T_kf_now @ (T_kf_then^-1 @ T_frame_then).
         """
+        self.sync_backend()
         ts = np.asarray(self._traj_ts)
         out = []
         kf_pose_now = np.asarray(self.map.kf_pose)
@@ -367,6 +434,7 @@ class SLAMSession:
         return ts, np.stack(out) if out else np.zeros((0, 4, 4))
 
     def keyframe_poses(self) -> tuple[np.ndarray, np.ndarray]:
+        self.sync_backend()
         n = int(self.map.n_kf)
         return (np.asarray(self.map.kf_time[:n]), np.asarray(self.map.kf_pose[:n]))
 

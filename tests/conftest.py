@@ -28,6 +28,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped, fixed-seed rng: every test draws the same sequence
+    regardless of execution order (a session-scoped rng made test inputs
+    depend on which tests ran before — order-dependent flakiness)."""
     return np.random.default_rng(0)

@@ -104,6 +104,141 @@ class TestMapState:
         assert list(np.asarray(idx)[3:]) == [0, 1, 2, 3, 4]
 
 
+class TestMapMaintenance:
+    """Point culling, slot recycling, duplicate merge, pressure counters."""
+
+    def _insert(self, m, rng, pts_w, T=None, signs=None, match_pid=None, ts=0.0):
+        T = np.eye(4, dtype=np.float32) if T is None else T
+        uv, pc, ok = _observe(T, pts_w)
+        if signs is None:
+            signs = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+        if match_pid is None:
+            match_pid = jnp.full((K,), -1, jnp.int32)
+        return smap.insert_keyframe(
+            m, jnp.asarray(T), ts, jnp.asarray(uv[:K]), jnp.asarray(pc[:K]),
+            jnp.asarray(ok[:K]), jnp.asarray(signs), match_pid,
+        ), ok[:K]
+
+    def test_cull_under_observed(self, rng):
+        m = smap.empty_map(KCFG, K)
+        pts_w = _make_world(rng, K)
+        m, ok = self._insert(m, rng, pts_w)
+        n0 = int(m.n_pt)
+        assert n0 == int(ok.sum())
+        # 4 more keyframes observing NOTHING from KF0 (fresh spawns)
+        for i in range(1, 5):
+            m, _ = self._insert(m, rng, pts_w + 100.0, ts=float(i))
+        m2, n_culled = smap.cull_points(m, m.n_kf - 1, min_obs=2, max_age_kf=3)
+        # every point from KF0 (nobs=1, age>=4) must be culled
+        assert int(n_culled) >= n0
+        pid0 = np.asarray(m2.point_id[0])
+        assert (pid0 == -1).all(), "culled points must vanish from the obs graph"
+        assert int(m2.n_pt) == int(np.asarray(m2.pt_valid).sum())
+
+    def test_reobserved_points_survive(self, rng):
+        m = smap.empty_map(KCFG, K)
+        pts_w = _make_world(rng, K)
+        m, ok0 = self._insert(m, rng, pts_w)
+        # KF1 REOBSERVES KF0's points (match_pid = pid from KF0)
+        pid0 = m.point_id[0]
+        T1 = np.asarray(se3.exp(jnp.asarray([0.05, 0, 0, 0, 0.02, 0], dtype=jnp.float32)))
+        uv1, pc1, ok1 = _observe(T1, pts_w)
+        match = jnp.where(jnp.asarray(ok1[:K]) & (pid0 >= 0), pid0, -1)
+        m, _ = self._insert(m, rng, pts_w, T=T1, match_pid=match, ts=1.0)
+        for i in range(2, 6):
+            m, _ = self._insert(m, rng, pts_w + 100.0, ts=float(i))
+        n_before = int(m.n_pt)
+        m2, n_culled = smap.cull_points(m, m.n_kf - 1, min_obs=2, max_age_kf=3)
+        survivors = np.asarray(m2.pt_valid)
+        nobs = np.asarray(m.pt_nobs)
+        # exactly the twice-observed points survive the nobs test
+        assert (nobs[survivors] >= 2).all()
+        assert int(n_culled) == n_before - int(survivors.sum())
+
+    def test_slot_recycling(self, rng):
+        cfg = KeyframeConfig(max_keyframes=16, max_map_points=128)
+        m = smap.empty_map(cfg, K)
+        pts_w = _make_world(rng, K)
+        m, ok = self._insert(m, rng, pts_w)
+        slots_kf0 = set(int(p) for p in np.asarray(m.point_id[0]) if p >= 0)
+        # cull everything (min_obs high, age 0)
+        m, n_culled = smap.cull_points(m, m.n_kf - 1, min_obs=5, max_age_kf=0)
+        assert int(n_culled) == len(slots_kf0)
+        assert int(m.n_pt) == 0
+        # next insert must REUSE the freed low slots, not append past them
+        m, ok1 = self._insert(m, rng, _make_world(rng, K), ts=1.0)
+        slots_kf1 = set(int(p) for p in np.asarray(m.point_id[1]) if p >= 0)
+        assert slots_kf1 and slots_kf1 <= set(range(len(slots_kf0) + K))
+        assert min(slots_kf1) == 0, "freed slot 0 must be recycled first"
+        # recycled slots restart their observation count at 1
+        nobs = np.asarray(m.pt_nobs)
+        assert (nobs[sorted(slots_kf1)] == 1).all()
+
+    def test_capacity_pressure_counters(self, rng):
+        cfg = KeyframeConfig(max_keyframes=2, max_map_points=64)
+        m = smap.empty_map(cfg, K)
+        pts_w = _make_world(rng, K)
+        m, ok = self._insert(m, rng, pts_w)  # K valid spawns into 64 slots
+        if int(ok.sum()) > 64:
+            assert int(m.pt_dropped) == int(ok.sum()) - 64
+        m, _ = self._insert(m, rng, pts_w + 100.0, ts=1.0)
+        assert int(m.n_kf) == 2
+        m, _ = self._insert(m, rng, pts_w + 200.0, ts=2.0)  # beyond KF capacity
+        assert int(m.kf_dropped) == 1
+        assert int(m.n_kf) == 2
+
+    def test_bounded_map_under_culling(self, rng):
+        """Steady spawn + cull keeps n_pt bounded far below total spawns."""
+        cfg = KeyframeConfig(max_keyframes=64, max_map_points=512)
+        m = smap.empty_map(cfg, K)
+        total_spawned = 0
+        for i in range(12):
+            # fresh in-view world points + fresh descriptors each KF: all
+            # spawn as new map points and are never re-observed
+            m, ok = self._insert(m, rng, _make_world(rng, K), ts=float(i))
+            total_spawned += int(ok.sum())
+            m, _ = smap.cull_points(m, m.n_kf - 1, min_obs=2, max_age_kf=3)
+        assert int(m.pt_dropped) == 0, "culling must prevent capacity pressure"
+        assert int(m.n_pt) <= 4 * K < total_spawned
+
+    def test_merge_tier_suppresses_duplicates(self, rng):
+        """A keypoint 3D-on-top of an existing point with a near-identical
+        descriptor reuses its id even when the pixel gate fails."""
+        m = smap.empty_map(KCFG, K)
+        # close-range points so a 4 cm offset is >6 px in the image
+        pts_w = np.stack([
+            rng.uniform(-0.2, 0.2, K), rng.uniform(-0.15, 0.15, K),
+            rng.uniform(0.45, 0.55, K)], axis=1).astype(np.float32)
+        T0 = np.eye(4, dtype=np.float32)
+        uv, pc, ok = _observe(T0, pts_w)
+        signs = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+        m = smap.insert_keyframe(m, jnp.asarray(T0), 0.0, jnp.asarray(uv),
+                                 jnp.asarray(pc), jnp.asarray(ok),
+                                 jnp.asarray(signs), jnp.full((K,), -1, jnp.int32))
+        # query: same points displaced 4 cm laterally (>= 9 px at z=0.5)
+        pc_q = pc + np.array([0.04, 0, 0], np.float32)
+        z_q = pc_q[:, 2]
+        u_q = CAM.fx * pc_q[:, 0] / z_q + CAM.cx
+        v_q = CAM.fy * pc_q[:, 1] / z_q + CAM.cy
+        uv_q = np.stack([u_q, v_q], 1).astype(np.float32)
+        pid_nomerge = smap.match_against_map(
+            m, jnp.asarray(signs), jnp.asarray(ok), jnp.asarray(uv_q),
+            jnp.asarray(z_q), jnp.asarray(T0), cam=CAM, px_radius=6.0)
+        pid_merge = smap.match_against_map(
+            m, jnp.asarray(signs), jnp.asarray(ok), jnp.asarray(uv_q),
+            jnp.asarray(z_q), jnp.asarray(T0), cam=CAM, px_radius=6.0,
+            kp_pts=jnp.asarray(pc_q), merge_radius=0.05)
+        pid0 = np.asarray(m.point_id[0])
+        got_nm = np.asarray(pid_nomerge)
+        got_m = np.asarray(pid_merge)
+        valid = ok & (pid0 >= 0)
+        # pixel tier alone misses the displaced reobservations...
+        assert (got_nm[valid] == -1).mean() > 0.8
+        # ...the merge tier recovers them, mapping to the original ids
+        recovered = (got_m[valid] == pid0[valid])
+        assert recovered.mean() > 0.8, f"merge recovered {recovered.mean():.2f}"
+
+
 class TestLocalBA:
     def test_recovers_perturbed_poses_and_points(self, rng):
         """Noisy init, exact observations -> BA returns to ground truth."""
