@@ -53,6 +53,7 @@ class BackendJob:
     edges: pg_mod.EdgeList
     n_edges: jax.Array
     kf_idx: int  # newest keyframe slot at snapshot time
+    n_kf: int = -1  # host-mirrored keyframe count (-1 = read from device)
 
 
 @dataclass
@@ -82,12 +83,18 @@ def backend_pass(
     n_edges: jax.Array,
     kf_idx: int,
     cfg: SLAMConfig,
+    n_kf: int = -1,
 ) -> BackendResult:
     """One backend iteration on a map snapshot: local BA, then a loop
     attempt (candidate -> geometric verification -> pose graph). Pure in
     the snapshot; the caller merges the result (`SLAMSession._apply_backend`).
+
+    `n_kf` is the host-mirrored keyframe count; -1 falls back to a device
+    read (a blocking round-trip — callers on the hot path pass it).
     """
     t0 = time.monotonic()
+    if n_kf < 0:
+        n_kf = int(m.n_kf)
     out = BackendResult(
         snap_kf_idx=kf_idx,
         kf_pose=m.kf_pose,
@@ -97,7 +104,7 @@ def backend_pass(
 
     # ---- local BA over the sliding window (free recent half, fixed
     # older observers — see session docstring) ------------------------------
-    if int(m.n_kf) >= 3:
+    if n_kf >= 3:
         w = cfg.ba.window
         idx, valid = smap.local_window(m, 2 * w)
         free = jnp.arange(2 * w) >= w
@@ -120,7 +127,7 @@ def backend_pass(
         m = m.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
 
     # ---- loop closure ------------------------------------------------------
-    if int(m.n_kf) > cfg.ba.loop_min_interval:
+    if n_kf > cfg.ba.loop_min_interval:
         cand = loop_mod.find_loop_candidate(
             m, jnp.int32(kf_idx),
             min_interval=cfg.ba.loop_min_interval,
@@ -215,7 +222,8 @@ class BackendWorker:
                 job = self._job
             try:
                 result = backend_pass(
-                    job.map, job.edges, job.n_edges, job.kf_idx, self.cfg
+                    job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
+                    n_kf=job.n_kf,
                 )
             except Exception:  # noqa: BLE001 — surfaced via log + liveness
                 log.exception("backend pass failed; dropping job")

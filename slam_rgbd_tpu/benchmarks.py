@@ -1,0 +1,286 @@
+"""Benchmark suite: the FULL SLAM session on one chip, plus component rooflines.
+
+Invoked as `python bench.py` (repo-root shim, the driver contract) or
+`python -m slam_rgbd_tpu benchmark`.
+
+Three tiers, all at the reference's operating point (640x480 RGB-D; the
+reference paces everything to 30 fps, `sensorModule.c:242-243`, and
+publishes no throughput numbers, so 30 fps real-time is the baseline):
+
+  1. `session_fps` — the flagship: `SLAMSession.process_frame` over a
+     synthetic orbit with real keyframe cadence (features, map insertion,
+     culling, async local BA / loop closure on the backend worker), with
+     mean AND p99 frame time. This is odometry+mapping, the capability the
+     reference intends via ORB-SLAM3's `TrackRGBD`
+     (`Youth.Source/AlgorithmModule/SLAM.cpp:54,126-169`).
+  2. `tracking_fps` — odometry-only steady state (pyramid + coarse-to-fine
+     GN track), the previous rounds' headline, kept for continuity.
+  3. Kernel speed-of-light: measured time vs. the binding roofline (HBM or
+     MXU) for the two Pallas kernels (`ops/icp_pallas.gn_reduce`,
+     `ops/hamming_pallas.hamming_top2`) per BASELINE.md:33.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+def enable_compile_cache():
+    """Persistent compilation cache: the serving TPU here is remote-tunneled
+    and each XLA compile costs tens of seconds; cached executables make
+    repeat bench runs start in seconds."""
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+BASELINE_FPS = 30.0  # the reference's real-time operating target
+
+
+def _render_sequence(cfg, n_frames):
+    """Pre-render an orbit on device: list of (ts, depth u16, rgb u8)."""
+    from slam_rgbd_tpu.io.synthetic import SceneSpec, orbit_trajectory, render_frame
+
+    spec = SceneSpec()
+    poses = orbit_trajectory(n_frames, spec)
+    frames = []
+    for i in range(n_frames):
+        d, c = render_frame(jnp.asarray(poses[i]), cfg.camera, spec)
+        # Frames stay device-resident (same methodology as the tracking
+        # bench): on a physical TPU host the 1.4 MB/frame H2D hop is
+        # ~0.15 ms and a prefetching ingest pipeline overlaps it with
+        # compute anyway; on this remote-tunneled chip a blocking per-frame
+        # upload would measure tunnel bandwidth, not SLAM.
+        frames.append((i / 30.0, d, c))
+    jax.block_until_ready(frames[-1][1])
+    return frames
+
+
+def bench_session(cfg, frames):
+    """Full pipeline: tracking + features + map + async BA/loop closure."""
+    from slam_rgbd_tpu.runtime.session import SLAMSession
+
+    def run_once(flush_timeout=60.0):
+        sess = SLAMSession(cfg, async_backend=True)
+        try:
+            for ts, d, c in frames:
+                sess.process_frame(ts, d, c)
+            sess.sync_backend(timeout=flush_timeout)
+            sess.worker_stats = dict(completed=sess.worker.completed,
+                                     skipped=sess.worker.skipped)
+            return sess
+        finally:
+            sess.close()
+
+    # warmup: compiles every path (track, features, BA, loop); the first
+    # backend job compiles local_ba/pose-graph on the worker thread, which
+    # can take minutes on a remote-compile TPU — wait it out here so the
+    # timed pass measures steady state, not compilation
+    run_once(flush_timeout=1200.0)
+    t0 = time.perf_counter()
+    sess = run_once()
+    wall_s = time.perf_counter() - t0
+
+    ms = np.asarray([s.track_ms for s in sess.stats[1:]])  # skip bootstrap
+    return {
+        "session_fps": round(len(frames) / wall_s, 2),
+        "session_mean_ms": round(float(ms.mean()), 2),
+        "session_p50_ms": round(float(np.percentile(ms, 50)), 2),
+        "session_p99_ms": round(float(np.percentile(ms, 99)), 2),
+        "session_max_ms": round(float(ms.max()), 2),
+        "keyframes": sess.state.keyframes,
+        "map_points": sess.map_point_count(),
+        "backend_jobs": getattr(sess, "worker_stats", {}),
+    }
+
+
+def bench_tracking(cfg, frames, iters=120):
+    """Odometry-only steady state (one pyramid build + track per frame)."""
+    from slam_rgbd_tpu.core import camera
+    from slam_rgbd_tpu.odometry.icp import track_frame
+
+    cam = cfg.camera
+    dev_frames = [
+        (jax.device_put(jnp.asarray(d)), jax.device_put(jnp.asarray(c)))
+        for _, d, c in frames[:8]
+    ]
+    jax.block_until_ready(dev_frames[-1])
+
+    @jax.jit
+    def step(prev_pyr, depth_cur, rgb_cur, T_world, motion):
+        cur_pyr = camera.build_frame_pyramid(
+            depth_cur, cam, levels=cfg.icp.levels, rgb=rgb_cur
+        )
+        T, m, res = track_frame(prev_pyr, cur_pyr, T_world, motion, cam, cfg.icp)
+        return cur_pyr, T, m, res
+
+    pyramid = jax.jit(
+        lambda d, c: camera.build_frame_pyramid(d, cam, levels=cfg.icp.levels, rgb=c)
+    )
+    T = jnp.eye(4)
+    motion = jnp.eye(4)
+    pyr = pyramid(*dev_frames[0])
+    pyr, T, motion, res = step(pyr, *dev_frames[1], T, motion)
+    jax.block_until_ready(T)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        b = dev_frames[i % (len(dev_frames) - 1) + 1]
+        pyr, T, motion, res = step(pyr, *b, T, motion)
+    jax.block_until_ready(T)
+    dt = time.perf_counter() - t0
+    return {"tracking_fps": round(iters / dt, 2)}
+
+
+def _time_device(fn, iters=100):
+    """Per-call device time, amortized: enqueue `iters` calls and block
+    once. Blocking per call would measure the host<->device round-trip
+    (tens of ms on a remote-tunneled TPU) instead of the kernel."""
+    jax.block_until_ready(fn())  # warmup/compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_kernels(cfg, frames):
+    """Speed-of-light fractions for both Pallas kernels (BASELINE.md:33).
+
+    Only meaningful on TPU hardware; on CPU the kernels run in interpret
+    mode and the roofline is skipped.
+    """
+    if jax.default_backend() != "tpu":
+        return {"kernel_sol": "skipped (not on tpu)"}
+
+    from slam_rgbd_tpu.core import camera
+    from slam_rgbd_tpu.ops import hamming_pallas as hp
+    from slam_rgbd_tpu.ops import icp_pallas as ip
+    from slam_rgbd_tpu.runtime.profiling import roofline, tpu_generation
+
+    gen = tpu_generation()
+    cam = cfg.camera
+    out = {}
+
+    # ---- gn_reduce at the finest level (the big data mover) ---------------
+    _, d, c = frames[0]
+    _, d2, c2 = frames[1]
+    pyr_fn = jax.jit(
+        lambda dd, cc: camera.build_frame_pyramid(dd, cam, levels=cfg.icp.levels, rgb=cc)
+    )
+    src_pyr = pyr_fn(jnp.asarray(d), jnp.asarray(c))
+    tgt_pyr = pyr_fn(jnp.asarray(d2), jnp.asarray(c2))
+    lvl = 0  # finest: 640x480
+    radius = cfg.icp.window_px[-1]
+    src, tgt = src_pyr[lvl], tgt_pyr[lvl]
+    h, w = tgt["valid"].shape
+    th, n_tiles, w_pad = ip.plan_tiles(h, w, radius)
+    srcp = ip.build_source_planes(src, th, n_tiles, w_pad)
+    tgtp = ip.build_target_planes(
+        tgt, jnp.int32(0), jnp.int32(0), radius, th, n_tiles, w_pad
+    )
+    scal = ip.pack_scalars(jnp.eye(4), jnp.float32(0), jnp.float32(0))
+    srcp, tgtp = jax.device_put(srcp), jax.device_put(tgtp)
+
+    def run_gn():
+        H, g, inl, ss = ip.gn_reduce(scal, srcp, tgtp, cam, cfg.icp, radius, (h, w))
+        return H
+
+    t_gn = _time_device(run_gn)
+    gn_bytes = (srcp.size + tgtp.size) * 4
+    n_terms = (2 * radius + 2) ** 2
+    gn_flops = n_tiles * th * w_pad * (n_terms * 24 + 260)
+    out["gn_reduce_640x480"] = roofline(gn_bytes, gn_flops, t_gn, gen)
+
+    # ---- hamming_top2 at the map-association workload ----------------------
+    K1, K2 = 1024, cfg.keyframes.max_map_points
+    rng = np.random.default_rng(0)
+    s1 = jax.device_put(jnp.asarray(rng.choice([-1, 1], (K1, 256)).astype(np.int8)))
+    s2 = jax.device_put(jnp.asarray(rng.choice([-1, 1], (K2, 256)).astype(np.int8)))
+    v1 = jnp.ones((K1,), bool)
+    v2 = jnp.ones((K2,), bool)
+
+    def run_ham():
+        best, second, idx = hp.hamming_top2(s1, v1, s2, v2)
+        return best
+
+    t_h = _time_device(run_ham)
+    # HBM traffic of the bf16 operands + tiny outputs; FLOPs of the matmul.
+    ham_bytes = (K1 + K2) * 256 * 2 + K1 * 12
+    ham_flops = 2 * K1 * K2 * 256
+    out[f"hamming_top2_{K1}x{K2}"] = roofline(ham_bytes, ham_flops, t_h, gen)
+
+    # XLA reference path at the same workload: distance matrix + top_k via
+    # HBM — the speedup is what the fusion buys on the map-association
+    # workload the session actually runs.
+    from slam_rgbd_tpu.features.match import hamming_matrix
+
+    @jax.jit
+    def xla_top2(a, b):
+        d = hamming_matrix(a, b)
+        neg, idx = jax.lax.top_k(-d, 2)
+        return -neg[:, 0], -neg[:, 1], idx[:, 0]
+
+    def run_xla():
+        best, second, idx = xla_top2(s1, s2)
+        return best
+
+    t_x = _time_device(run_xla)
+    out[f"hamming_top2_{K1}x{K2}"]["xla_us"] = round(t_x * 1e6, 1)
+    out[f"hamming_top2_{K1}x{K2}"]["speedup_vs_xla"] = round(t_x / t_h, 2)
+    return {"kernel_sol": out}
+
+
+def main():
+    from slam_rgbd_tpu.core.config import astra_default_config
+
+    enable_compile_cache()
+    cfg = astra_default_config()
+    # ~26 keyframes at the default cadence; the loop-closure path engages
+    # past keyframe 20. BENCH_FRAMES=n shortens smoke runs.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
+    _note(f"rendering {n_frames} frames at 640x480 on {jax.default_backend()}")
+    frames = _render_sequence(cfg, n_frames)
+
+    extras = {}
+    _note("tracking-only bench")
+    extras.update(bench_tracking(cfg, frames))
+    _note("kernel speed-of-light bench")
+    extras.update(bench_kernels(cfg, frames))
+    _note("full-session bench (warmup pass compiles every path)")
+    session = bench_session(cfg, frames)
+    extras.update(session)
+    extras["device"] = jax.devices()[0].device_kind
+
+    fps = session["session_fps"]
+    print(
+        json.dumps(
+            {
+                "metric": "slam_session_fps_640x480_odometry_plus_mapping",
+                "value": fps,
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

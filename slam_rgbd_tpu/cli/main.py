@@ -76,6 +76,11 @@ def cmd_run(args):
     if args.record:
         runner.control.send(st.ControlCommand.START_RECORD, args.record)
         runner._handle_control()
+    if getattr(args, "interactive", False):
+        from slam_rgbd_tpu.runtime.runner import ControlMenu
+
+        ControlMenu(runner).start()  # stdin menu, main.c:57-159 parity
+        args.threaded = True  # the menu requires the threaded pipeline
     session = runner.run(threads=args.threaded)
     if args.record and runner.recorder:
         runner.recorder.close()
@@ -200,14 +205,21 @@ def cmd_serve(args):
 
 
 def cmd_benchmark(args):
-    import importlib.util
+    if args.scaling:
+        from slam_rgbd_tpu.parallel.scaling import scaling_report
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.main()
+        rep = scaling_report(iters=args.iters, width=args.width,
+                             height=args.height)
+        out = json.dumps(rep, indent=1)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(out + "\n")
+            print(f"scaling report -> {args.out}")
+        print(out)
+        return 0
+    from slam_rgbd_tpu import benchmarks
+
+    benchmarks.main()
     return 0
 
 
@@ -225,6 +237,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--record", help="tee frames to a .rgbd recording")
     pr.add_argument("--checkpoint", help="save final state here")
     pr.add_argument("--threaded", action="store_true", help="producer/consumer pipeline")
+    pr.add_argument("--interactive", action="store_true",
+                    help="stdin control menu (record/playback/reset/quit)")
     pr.set_defaults(fn=cmd_run)
 
     pc = sub.add_parser("record", help="capture a source to .rgbd")
@@ -264,7 +278,13 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--tum", action="store_true")
     ps.set_defaults(fn=cmd_serve)
 
-    pb = sub.add_parser("benchmark", help="tracking throughput benchmark")
+    pb = sub.add_parser("benchmark", help="throughput / scaling benchmarks")
+    pb.add_argument("--scaling", action="store_true",
+                    help="frames/s vs mesh size (BASELINE.md scaling metric)")
+    pb.add_argument("--iters", type=int, default=10)
+    pb.add_argument("--width", type=int, default=0)
+    pb.add_argument("--height", type=int, default=0)
+    pb.add_argument("--out", help="write the scaling JSON artifact here")
     pb.set_defaults(fn=cmd_benchmark)
     return p
 

@@ -144,6 +144,11 @@ class KeyframeConfig:
     # an existing point with near-identical descriptor reuses its id
     # instead of spawning a duplicate.
     merge_radius: float = 0.05
+    # Host-side anti-duplicate guard for pipelined keyframe decisions:
+    # decisions resolve with a few frames of lag, during which several
+    # frames may all have flagged "insert" against the same stale
+    # reference keyframe — enforce this many frames between inserts.
+    kf_min_gap_frames: int = 2
 
 
 @dataclass(frozen=True)
@@ -205,6 +210,13 @@ class RuntimeConfig:
     health_check_grace_s: float = 1.0
     checkpoint_every_kf: int = 16
     metrics_every_frames: int = 30
+    # Decision-pipeline depth: per-frame control scalars are fetched via
+    # an async device->host copy and resolved as soon as they LAND (zero
+    # blocking in steady state); a frame's decisions are forced (blocking)
+    # only once this many frames are in flight. On a local TPU the copy
+    # lands within a frame; over a high-latency link the lag self-tunes
+    # up to this bound.
+    max_decision_lag: int = 8
 
 
 @dataclass(frozen=True)

@@ -177,6 +177,71 @@ def render_frame(T_wc: jax.Array, cam: CameraIntrinsics, spec: SceneSpec = Scene
     return depth_raw, rgb_u8
 
 
+@dataclass(frozen=True)
+class NoiseSpec:
+    """Kinect-class RGB-D sensor noise (the real-sensor operating point of
+    the reference's Astra config, `astra_orb_slam3_rgbd.yaml:9-35`).
+
+    The analytic raycaster is noiseless — perfect depth, perfect
+    brightness constancy — which is the easiest possible input for a
+    photometric+geometric tracker. This model restores the three error
+    sources that dominate structured-light RGB-D sensors:
+
+      * axial depth noise growing quadratically with range
+        (sigma_z = `depth_sigma_rel2` * z^2, the Khoshelham/Elberink
+        Kinect model; ~1.4 mm at 1 m, ~5.6 mm at 2 m),
+      * depth dropout at object silhouettes (structured-light shadowing:
+        pixels whose local depth gradient is large lose their return)
+        plus uniform random dropout,
+      * RGB brightness flicker (per-frame global gain — auto-exposure
+        hunting) and per-pixel shot noise.
+    """
+
+    depth_sigma_rel2: float = 1.4e-3  # m of std per m^2 of range
+    edge_dropout: float = 0.6  # P(drop) where the depth edge test fires
+    edge_rel_tol: float = 0.02  # neighbour depth ratio that counts as edge
+    random_dropout: float = 0.002  # uniform missing-return probability
+    rgb_sigma: float = 2.0  # shot noise, 0..255 units
+    flicker: float = 0.03  # max |gain - 1| per frame
+    seed: int = 11
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "spec"))
+def apply_sensor_noise(
+    depth_raw: jax.Array,  # (H, W) uint16 sensor units
+    rgb: jax.Array,  # (H, W, 3) uint8
+    key: jax.Array,
+    cam: CameraIntrinsics,
+    spec: NoiseSpec = NoiseSpec(),
+):
+    """Corrupt a clean rendered frame like a real structured-light sensor."""
+    k_z, k_edge, k_drop, k_rgb, k_gain = jax.random.split(key, 5)
+    z = depth_raw.astype(jnp.float32) / cam.depth_scale
+
+    # axial noise ~ z^2
+    sigma = spec.depth_sigma_rel2 * z * z
+    z_noisy = z + sigma * jax.random.normal(k_z, z.shape)
+
+    # silhouette dropout: depth edge = any 4-neighbour differing by more
+    # than edge_rel_tol * z
+    edge = jnp.zeros(z.shape, bool)
+    for ax, s in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        edge = edge | (jnp.abs(jnp.roll(z, s, axis=ax) - z)
+                       > spec.edge_rel_tol * jnp.maximum(z, 0.5))
+    drop = (edge & (jax.random.uniform(k_edge, z.shape) < spec.edge_dropout)) | (
+        jax.random.uniform(k_drop, z.shape) < spec.random_dropout
+    )
+    z_noisy = jnp.where(drop, 0.0, z_noisy)
+    depth_out = jnp.clip(z_noisy * cam.depth_scale, 0, 65535).astype(jnp.uint16)
+
+    gain = 1.0 + spec.flicker * (2.0 * jax.random.uniform(k_gain, ()) - 1.0)
+    rgb_f = rgb.astype(jnp.float32) * gain + spec.rgb_sigma * jax.random.normal(
+        k_rgb, rgb.shape
+    )
+    rgb_out = jnp.clip(rgb_f, 0, 255).astype(jnp.uint8)
+    return depth_out, rgb_out
+
+
 def orbit_trajectory(n_frames: int, spec: SceneSpec = SceneSpec(),
                      radius: float = 0.8, step_t: float = 0.012,
                      step_r: float = 0.01, seed: int = 3) -> np.ndarray:
@@ -216,10 +281,12 @@ class SyntheticSequence:
     """
 
     def __init__(self, n_frames: int, cam: CameraIntrinsics,
-                 spec: SceneSpec = SceneSpec(), fps: float = 30.0, **traj_kw):
+                 spec: SceneSpec = SceneSpec(), fps: float = 30.0,
+                 noise: NoiseSpec | None = None, **traj_kw):
         self.cam = cam
         self.spec = spec
         self.fps = fps
+        self.noise = noise
         self.poses = orbit_trajectory(n_frames, spec, **traj_kw)
         self.timestamps = np.arange(n_frames, dtype=np.float64) / fps
 
@@ -229,6 +296,9 @@ class SyntheticSequence:
     def frame(self, i: int):
         """(timestamp_s, depth_raw u16 (H,W), rgb u8 (H,W,3))."""
         depth, rgb = render_frame(jnp.asarray(self.poses[i]), self.cam, self.spec)
+        if self.noise is not None:
+            key = jax.random.fold_in(jax.random.key(self.noise.seed), i)
+            depth, rgb = apply_sensor_noise(depth, rgb, key, self.cam, self.noise)
         return self.timestamps[i], np.asarray(depth), np.asarray(rgb)
 
     def __iter__(self):

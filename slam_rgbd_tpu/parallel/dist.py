@@ -125,6 +125,124 @@ def batch_track(
     return run(src_pyrs, tgt_pyrs, T_init)
 
 
+# ------------------------------------------------------- map-block sharding
+def sharded_map_association(
+    mesh: Mesh,
+    signs: jax.Array,  # (K, 256) query descriptors, replicated
+    ok: jax.Array,  # (K,)
+    kp_uv: jax.Array,  # (K, 2)
+    kp_z: jax.Array,  # (K,)
+    T_world_cam: jax.Array,  # (4, 4)
+    pt_xyz: jax.Array,  # (P, 3) — map points SHARDED over `model`
+    pt_signs: jax.Array,  # (P, 256) sharded
+    pt_valid: jax.Array,  # (P,) sharded
+    cam: CameraIntrinsics,
+    px_radius: float = 6.0,
+    z_rel_tol: float = 0.08,
+    max_distance: float = 64.0,
+    kp_pts: jax.Array | None = None,  # (K, 3) camera-frame (merge tier)
+    merge_radius: float = 0.05,
+    merge_max_distance: float = 40.0,
+    model_axis: str = "model",
+) -> jax.Array:
+    """Map association with the MAP sharded in blocks across the mesh.
+
+    The map is the state that outgrows one device (SURVEY.md §5's
+    long-context analogue: map blocks over hosts). Layout: each device
+    holds a P/n block of `pt_xyz`/`pt_signs`/`pt_valid`; queries are
+    replicated (a frame is ~100 KB of descriptors vs. a multi-GB map).
+    Per block: project the block into the query camera, run the same
+    two-tier gated matching as `mapping.map.match_against_map`, keep the
+    block winner per query. The halo exchange is one all-gather of the
+    (K,) block winners — 12 bytes/query/device — after which every device
+    computes the identical global argmin. Bit-equal to the single-device
+    path (ties break toward the lowest global point index because blocks
+    are ordered and the XLA argmin picks first occurrence in-block).
+
+    Returns (K,) int32 global map-point ids, -1 if unmatched.
+    """
+    from slam_rgbd_tpu.features.match import hamming_matrix
+
+    K = signs.shape[0]
+    cap = pt_xyz.shape[0]
+    n = mesh.shape[model_axis]
+    assert cap % n == 0, f"map capacity {cap} not divisible by mesh {n}"
+    blk = cap // n
+    big = jnp.float32(1e9)
+
+    if kp_pts is not None:
+        pts_w = kp_pts @ T_world_cam[:3, :3].T + T_world_cam[:3, 3]
+    else:
+        pts_w = jnp.zeros((K, 3), jnp.float32)
+    T_cw = jnp.linalg.inv(T_world_cam)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P(model_axis), P(model_axis), P(model_axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(sg, okq, uv, zq, pw, bxyz, bsigns, bvalid):
+        # ---- this device's map block, projected into the query camera ----
+        p_c = bxyz @ T_cw[:3, :3].T + T_cw[:3, 3]  # (blk, 3)
+        z = p_c[:, 2]
+        z_safe = jnp.maximum(z, 1e-6)
+        pu = cam.fx * p_c[:, 0] / z_safe + cam.cx
+        pv = cam.fy * p_c[:, 1] / z_safe + cam.cy
+        proj_ok = bvalid & (z > cam.min_depth) & (z < cam.max_depth)
+
+        d0 = hamming_matrix(sg, bsigns)  # (K, blk)
+        d0 = jnp.where(okq[:, None] & proj_ok[None, :], d0, big)
+        du = uv[:, 0:1] - pu[None, :]
+        dv = uv[:, 1:2] - pv[None, :]
+        z_ok = jnp.abs(zq[:, None] - z[None, :]) < z_rel_tol * jnp.maximum(
+            zq[:, None], 0.3
+        )
+        d1 = jnp.where(
+            (du * du + dv * dv < px_radius * px_radius) & z_ok, d0, big
+        )
+
+        base = jax.lax.axis_index(model_axis).astype(jnp.int32) * blk
+
+        def block_winner(dm):
+            j = jnp.argmin(dm, axis=1)
+            return jnp.take_along_axis(dm, j[:, None], 1)[:, 0], base + j.astype(jnp.int32)
+
+        b1, i1 = block_winner(d1)
+        if kp_pts is not None:
+            dist2 = (
+                jnp.sum(pw * pw, axis=1)[:, None]
+                + jnp.sum(bxyz * bxyz, axis=1)[None, :]
+                - 2.0 * (pw @ bxyz.T)
+            )
+            b2, i2 = block_winner(
+                jnp.where(dist2 < merge_radius * merge_radius, d0, big)
+            )
+        else:
+            b2, i2 = jnp.full((K,), big), jnp.zeros((K,), jnp.int32)
+
+        # ---- halo exchange: (n, K) block winners, argmin replicated -------
+        cand = jax.lax.all_gather(
+            jnp.stack([b1, b2]), model_axis, axis=0
+        )  # (n, 2, K)
+        which1 = jnp.argmin(cand[:, 0, :], axis=0)  # (K,) winning block
+        which2 = jnp.argmin(cand[:, 1, :], axis=0)
+        idx1 = jax.lax.all_gather(i1, model_axis, axis=0)  # (n, K)
+        idx2 = jax.lax.all_gather(i2, model_axis, axis=0)
+        g = jnp.arange(K)
+        best1 = cand[which1, 0, g]
+        best2 = cand[which2, 1, g]
+        pid = jnp.where(best1 < max_distance, idx1[which1, g], -1)
+        if kp_pts is not None:
+            merge_pid = jnp.where(best2 < merge_max_distance, idx2[which2, g], -1)
+            pid = jnp.where(pid >= 0, pid, merge_pid)
+        return pid
+
+    return run(signs, ok, kp_uv, kp_z, pts_w, pt_xyz, pt_signs, pt_valid)
+
+
 # ----------------------------------------------------------------- matching
 def sharded_hamming_match(
     mesh: Mesh,

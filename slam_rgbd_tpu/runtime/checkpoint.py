@@ -37,20 +37,17 @@ def _flatten_state(session: "SLAMSession") -> dict:
     arrays["n_edges"] = np.asarray(session.n_edges)
     arrays["T_world"] = np.asarray(session.T_world)
     arrays["motion"] = np.asarray(session.motion)
-    arrays["traj_ts"] = np.asarray(session._traj_ts)
-    arrays["traj_T"] = (
-        np.stack(session._traj_T) if session._traj_T else np.zeros((0, 4, 4), np.float32)
-    )
-    arrays["frame_kf_idx"] = np.asarray(session._frame_kf_idx, dtype=np.int32)
-    arrays["kf_T_at_frame"] = (
-        np.stack(session._kf_T_at_frame)
-        if session._kf_T_at_frame else np.zeros((0, 4, 4), np.float32)
-    )
+    ts, traj_T, kf_idx, kf_T = session._traj_arrays()
+    arrays["traj_ts"] = ts
+    arrays["traj_T"] = traj_T
+    arrays["frame_kf_idx"] = kf_idx
+    arrays["kf_T_at_frame"] = kf_T
     return arrays
 
 
 def save(session: "SLAMSession", path: str) -> None:
     os.makedirs(path, exist_ok=True)
+    session.flush_pipeline()  # finalize the newest frame's decisions
     arrays = _flatten_state(session)
     np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
     meta = {
@@ -58,6 +55,7 @@ def save(session: "SLAMSession", path: str) -> None:
         "keyframes": session.state.keyframes,
         "loops": session.state.loops,
         "last_kf_idx": session.last_kf_idx,
+        "n_kf": session._n_kf_host,
         "format_version": 1,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -90,15 +88,19 @@ def restore(session: "SLAMSession", path: str) -> "SLAMSession":
     session.n_edges = jnp.asarray(data["n_edges"])
     session.T_world = jnp.asarray(data["T_world"])
     session.motion = jnp.asarray(data["motion"])
-    session._traj_ts = list(data["traj_ts"])
-    session._traj_T = list(data["traj_T"])
-    session._frame_kf_idx = list(data["frame_kf_idx"])
-    session._kf_T_at_frame = list(data["kf_T_at_frame"])
+    session._restore_traj(
+        data["traj_ts"], data["traj_T"], data["frame_kf_idx"],
+        data["kf_T_at_frame"],
+    )
     session.last_kf_idx = int(meta["last_kf_idx"])
     if session.last_kf_idx >= 0:
         session.last_kf_T = session.map.kf_pose[session.last_kf_idx]
     session.state.frames = meta["frames"]
     session.state.keyframes = meta["keyframes"]
     session.state.loops = meta["loops"]
+    session._n_kf_host = meta.get("n_kf", meta["keyframes"])
+    session._pending.clear()
+    session._frame_i = meta["frames"]
+    session._last_kf_frame_i = -(10 ** 9)
     session.prev_pyr = None  # next frame re-bootstraps tracking reference
     return session

@@ -126,14 +126,64 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-# Per-chip peak HBM bandwidth (bytes/s) by generation; the ICP / Hamming
-# kernels are HBM-bound so bandwidth is the roofline that matters.
+# Per-chip peak HBM bandwidth (bytes/s) by generation; the ICP kernel is
+# HBM-bound so bandwidth is the roofline that matters for it.
 HBM_PEAK_BYTES_PER_S = {
     "v4": 1.2e12,
     "v5e": 8.19e11,
     "v5p": 2.77e12,
     "v6e": 1.64e12,
 }
+
+# Per-chip peak bf16 MXU throughput (FLOP/s) — the Hamming sign-matmul
+# kernel is compute-bound (arithmetic intensity ~1000 FLOPs/byte), so the
+# MXU roofline binds for it.
+MXU_PEAK_FLOPS = {
+    "v4": 2.75e14,
+    "v5e": 1.97e14,
+    "v5p": 4.59e14,
+    "v6e": 9.18e14,
+}
+
+
+def tpu_generation(default: str = "v5e") -> str:
+    """Best-effort TPU generation from the attached device's device_kind."""
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # no devices / backend not initialized
+        return default
+    for gen in ("v6e", "v5p", "v5e", "v4"):
+        if gen in kind.replace(" ", "").replace("lite", "e"):
+            return gen
+    if "v5" in kind:  # "TPU v5 lite" etc.
+        return "v5e"
+    return default
+
+
+def roofline(bytes_accessed: int, flops: int, measured_s: float,
+             generation: str = "v5e") -> dict:
+    """Two-ceiling roofline for a kernel: HBM bandwidth and MXU compute.
+
+    `fraction` is achieved time vs. the BINDING ceiling (max of the two
+    lower-bound times) — the honest speed-of-light number BASELINE.md:33
+    asks for.
+    """
+    bw_peak = HBM_PEAK_BYTES_PER_S[generation]
+    fl_peak = MXU_PEAK_FLOPS[generation]
+    t_hbm = bytes_accessed / bw_peak
+    t_mxu = flops / fl_peak
+    sol_s = max(t_hbm, t_mxu)
+    return {
+        "measured_us": round(measured_s * 1e6, 1),
+        "sol_us": round(sol_s * 1e6, 1),
+        "fraction": round(sol_s / max(measured_s, 1e-12), 4),
+        "bound": "hbm" if t_hbm >= t_mxu else "mxu",
+        "achieved_gbps": round(bytes_accessed / max(measured_s, 1e-12) / 1e9, 1),
+        "achieved_tflops": round(flops / max(measured_s, 1e-12) / 1e12, 2),
+        "generation": generation,
+    }
 
 
 def speed_of_light(bytes_accessed: int, measured_s: float,

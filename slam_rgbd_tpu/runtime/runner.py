@@ -152,3 +152,97 @@ class PipelineRunner:
         self.session.close()  # drain + stop the backend worker
         self.session.state.running = False
         return clean
+
+
+class ControlMenu:
+    """Interactive runtime control — the reference's stdin menu
+    (`displayMenu`/`processUserInput`, `Youth.Source/main.c:57-159`) issuing
+    the same verbs through the `ControlChannel`:
+
+        1 <file>   start recording        2   stop recording
+        3 <file>   start playback         4   stop playback
+        r          reset SLAM system      s   status line
+        q          quit (graceful shutdown)
+
+    `infile`/`outfile` are injectable so tests can script the stdin session
+    (`main.c` reads the real stdin via its 100 ms select loop).
+    """
+
+    def __init__(self, runner: PipelineRunner, infile=None, outfile=None):
+        import sys
+
+        self.runner = runner
+        self._in = infile if infile is not None else sys.stdin
+        self._out = outfile if outfile is not None else sys.stdout
+        self._thread: Optional[threading.Thread] = None
+
+    def _print(self, msg: str):
+        try:
+            self._out.write(msg + "\n")
+            self._out.flush()
+        except ValueError:  # closed stream during shutdown
+            pass
+
+    def banner(self):
+        self._print(
+            "menu: 1 <file>=record  2=stop-record  3 <file>=playback  "
+            "4=stop-playback  r=reset  s=status  q=quit"
+        )
+
+    def _dispatch(self, line: str) -> bool:
+        """Handle one command line; returns False on quit."""
+        ctl, sess = self.runner.control, self.runner.session
+        parts = line.strip().split(maxsplit=1)
+        if not parts:
+            return True
+        verb, arg = parts[0], (parts[1] if len(parts) > 1 else None)
+        if verb == "1":
+            if not arg:
+                self._print("usage: 1 <output.rgbd>")
+            else:
+                ctl.send(st.ControlCommand.START_RECORD, arg)
+                self._print(f"recording -> {arg}")
+        elif verb == "2":
+            ctl.send(st.ControlCommand.STOP_RECORD)
+            self._print("recording stopped")
+        elif verb == "3":
+            if not arg:
+                self._print("usage: 3 <input.rgbd>")
+            else:
+                ctl.send(st.ControlCommand.START_PLAYBACK, arg)
+                self._print(f"playback <- {arg}")
+        elif verb == "4":
+            ctl.send(st.ControlCommand.STOP_PLAYBACK)
+            self._print("playback stopped")
+        elif verb == "r":
+            ctl.send(st.ControlCommand.RESET)
+            self._print("reset requested")
+        elif verb == "s":
+            s = sess.state
+            self._print(
+                f"status: frames={s.frames} keyframes={s.keyframes} "
+                f"map_points={sess.map_point_count()} loops={s.loops} "
+                f"lost={s.lost} queue={len(self.runner.queue)}"
+            )
+        elif verb == "q":
+            ctl.send(st.ControlCommand.SHUTDOWN)
+            self._print("shutting down")
+            return False
+        else:
+            self.banner()
+        return True
+
+    def _loop(self):
+        self.banner()
+        for line in self._in:
+            if not self._dispatch(line):
+                return
+            if self.runner._stop.is_set():
+                return
+
+    def start(self) -> threading.Thread:
+        self._thread = threading.Thread(
+            target=self._loop, name="slam-menu", daemon=True
+        )
+        self._thread.start()
+        return self._thread

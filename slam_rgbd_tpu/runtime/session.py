@@ -80,6 +80,44 @@ def _frame_summary(T_world, last_kf_T, valid_fraction, rmse, kcfg):
     ])
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _traj_append(buf_T, buf_kfT, i, T, kfT):
+    """Scatter one frame's (pose, reference-KF pose) into the device-side
+    trajectory ring — an enqueued op, never a host sync. Buffers are
+    donated so the scatter is in-place."""
+    return buf_T.at[i].set(T), buf_kfT.at[i].set(kfT)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _traj_correct(buf_T, start, C):
+    """Left-multiply the rigid correction C onto ring entries [start:)
+    (relocalization rewrites the pose estimates logged since the lost
+    frame)."""
+    idx = jnp.arange(buf_T.shape[0])
+    corrected = jnp.einsum("ij,njk->nik", C, buf_T)
+    return jnp.where((idx >= start)[:, None, None], corrected, buf_T)
+
+
+@dataclass
+class _PendingFrame:
+    """A frame whose control decisions are still in flight (see
+    `SLAMSession.process_frame` docstring)."""
+
+    summary: jax.Array  # (4,) device scalars, async host copy started
+    st: FrameStats  # filled in when the summary lands
+    ts: float
+    depth_raw: object
+    rgb: object
+    traj_i: int  # ring slot of this frame's logged pose
+    frame_i: int  # session frame index
+    T: jax.Array  # (4, 4) this frame's pose estimate (device ref);
+    # backend merges / relocalizations compose corrections onto it
+
+    def ready(self) -> bool:
+        fn = getattr(self.summary, "is_ready", None)
+        return True if fn is None else bool(fn())
+
+
 @dataclass
 class FrameStats:
     timestamp: float
@@ -139,11 +177,30 @@ class SLAMSession:
         self.last_kf_T = None
         self.last_kf_idx = -1
         self.tracking_ok = True
+        # Host mirror of the map's keyframe count: insertion is
+        # deterministic (drop-at-capacity), so the host never has to read
+        # `map.n_kf` back from the device — each read is a blocking
+        # round-trip that serializes the pipeline.
+        self._n_kf_host = 0
+
+        # Ready-polled decision pipeline: per-frame control scalars are
+        # async-copied to the host and resolved as soon as they LAND —
+        # steady-state tracking never blocks on the device. The lag
+        # self-tunes: ~1 frame on a local TPU, up to
+        # `runtime.max_decision_lag` over a high-latency link.
+        import collections
+
+        self._pending: "collections.deque[_PendingFrame]" = collections.deque()
+        self._frame_i = 0
+        self._last_kf_frame_i = -(10 ** 9)
 
         self._traj_ts: list[float] = []
-        self._traj_T: list[np.ndarray] = []
         self._frame_kf_idx: list[int] = []  # last KF index per frame
-        self._kf_T_at_frame: list[np.ndarray] = []  # that KF's pose when logged
+        # Device-side trajectory ring (pose + reference-KF pose per frame);
+        # fetched once in `poses()` instead of one transfer per frame.
+        self._traj_cap = 4096
+        self._traj_T_dev = jnp.zeros((self._traj_cap, 4, 4), jnp.float32)
+        self._traj_kfT_dev = jnp.zeros((self._traj_cap, 4, 4), jnp.float32)
         self.stats: list[FrameStats] = []
 
     # ------------------------------------------------------------------ utils
@@ -167,12 +224,27 @@ class SLAMSession:
 
     # ------------------------------------------------------------- main loop
     def process_frame(self, ts: float, depth_raw: np.ndarray, rgb: np.ndarray) -> FrameStats:
+        """One frame: resolve the previous frame's decisions, then track.
+
+        Decision pipelining (the TPU-native shape of this loop): frame t
+        enqueues tracking + a (4,) control summary and starts an ASYNC
+        device->host copy of it; the copy completes while frame t+1's
+        work is being submitted, so the host never blocks on the device
+        in steady state. Frame t's decisions — relocalize on loss, insert
+        a keyframe — are applied at the START of frame t+1, before t+1's
+        tracking, which preserves the decision ordering exactly (T_world
+        has not advanced yet) at the cost of stats for the newest frame
+        being final only after the next call (or `flush_pipeline()`).
+        """
         t0 = time.monotonic()
         # merge any finished backend work FIRST: the snapshot discipline
         # (worker.py docstring) relies on corrections landing before the
         # next keyframe can be inserted.
         if self.worker is not None:
             self._apply_backend(self.worker.poll())
+        # resolve every in-flight frame whose summary has landed; force
+        # (block on) the oldest only at the lag bound
+        self._drain_pending(block=len(self._pending) >= self.cfg.runtime.max_decision_lag)
         pyr = self._pyramid(depth_raw, rgb)
 
         if self.prev_pyr is None:
@@ -180,10 +252,13 @@ class SLAMSession:
             # restored from a checkpoint, where only the tracking reference
             # needs re-anchoring.
             st = FrameStats(ts, 0.0, 1.0, 0.0, True, True)
-            if int(self.map.n_kf) == 0:
-                self._insert_keyframe(ts, depth_raw, rgb)
+            if self._n_kf_host == 0:
+                st.is_keyframe = True
+                self._last_kf_frame_i = self._frame_i
+                self._insert_keyframe(ts, depth_raw, rgb, self.T_world)
             self.prev_pyr = pyr
             self._log_pose(ts)
+            self._frame_i += 1
             self._finish(st, t0)
             return st
 
@@ -191,38 +266,82 @@ class SLAMSession:
             self.prev_pyr, pyr, self.T_world, self.motion,
             self.cfg.camera, self.cfg.icp,
         )
-        # ONE small device->host transfer for every per-frame control
-        # decision (inlier fraction, finiteness, keyframe policy) — per-
-        # frame syncs are what serialize the async backend split.
-        vf, rmse, finite, should = (
-            float(x) for x in np.asarray(_frame_summary(
-                self.T_world, self.last_kf_T, res.valid_fraction, res.rmse,
-                self.cfg.keyframes,
-            ))
+        summary = _frame_summary(
+            self.T_world, self.last_kf_T, res.valid_fraction, res.rmse,
+            self.cfg.keyframes,
         )
-        tracking_ok = vf > 0.25 and finite > 0.5
-        st = FrameStats(ts, 0.0, vf, rmse, False, tracking_ok)
-
-        if not tracking_ok:
-            self.state.lost += 1
-            log.warning("tracking lost at t=%.3f (inliers %.2f) — relocalizing", ts, vf)
-            if self._relocalize(depth_raw, rgb):
-                self.state.relocalized += 1
-                st.tracking_ok = True
-                self.motion = jnp.eye(4)
-                should = 1.0 if self._should_insert(vf) else 0.0
-            # on failed reloc we keep integrating (odometry-only fallback)
-
-        if st.tracking_ok and should > 0.5:
-            st.is_keyframe = True
-            kf_stats = self._insert_keyframe(ts, depth_raw, rgb)
-            st.ba_rmse_px = kf_stats.get("ba_rmse", 0.0)
-            st.loop_closed = kf_stats.get("loop", False)
+        try:
+            summary.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backends without async copy:
+            pass  # the resolve-time fetch then pays one blocking round-trip
+        # stats carry placeholders until the summary lands
+        st = FrameStats(ts, 0.0, -1.0, -1.0, False, True)
+        self._pending.append(_PendingFrame(
+            summary=summary, st=st, ts=ts, depth_raw=depth_raw, rgb=rgb,
+            traj_i=len(self._traj_ts), frame_i=self._frame_i, T=self.T_world,
+        ))
 
         self.prev_pyr = pyr
         self._log_pose(ts)
+        self._frame_i += 1
         self._finish(st, t0)
         return st
+
+    def _drain_pending(self, block: bool = False):
+        """Resolve in-flight frames: all whose summaries have landed, plus
+        (when `block`) the oldest one unconditionally."""
+        while self._pending:
+            if not block and not self._pending[0].ready():
+                return
+            block = False  # only ever force the oldest
+            self._resolve_entry(self._pending.popleft())
+
+    def _resolve_entry(self, e: _PendingFrame):
+        """Apply one frame's control decisions (pipeline stage 2)."""
+        vf, rmse, finite, should = (float(x) for x in np.asarray(e.summary))
+        e.st.inlier_fraction = vf
+        e.st.icp_rmse = rmse
+        e.st.tracking_ok = vf > 0.25 and finite > 0.5
+
+        if not e.st.tracking_ok:
+            self.state.lost += 1
+            log.warning(
+                "tracking lost at t=%.3f (inliers %.2f) — relocalizing", e.ts, vf
+            )
+            T_fixed = self._relocalize(e.depth_raw, e.rgb)
+            if T_fixed is not None:
+                self.state.relocalized += 1
+                e.st.tracking_ok = True
+                self.motion = jnp.eye(4)
+                # rigid correction from the lost frame's estimate; applies
+                # to the live pose, every frame logged since, and every
+                # still-pending estimate (they all inherited the bad pose)
+                C = T_fixed @ se3.inverse(e.T)
+                e.T = T_fixed
+                self.T_world = se3.normalize_rotation(C @ self.T_world)
+                self._traj_T_dev = _traj_correct(
+                    self._traj_T_dev, np.int32(e.traj_i), C
+                )
+                for later in self._pending:
+                    later.T = C @ later.T
+                should = 1.0 if self._should_insert(vf) else 0.0
+            # on failed reloc we keep integrating (odometry-only fallback)
+
+        gap_ok = (
+            e.frame_i - self._last_kf_frame_i
+            >= self.cfg.keyframes.kf_min_gap_frames
+        )
+        if e.st.tracking_ok and should > 0.5 and gap_ok:
+            e.st.is_keyframe = True
+            self._last_kf_frame_i = e.frame_i
+            kf_stats = self._insert_keyframe(e.ts, e.depth_raw, e.rgb, e.T)
+            e.st.ba_rmse_px = kf_stats.get("ba_rmse", 0.0)
+            e.st.loop_closed = kf_stats.get("loop", False)
+
+    def flush_pipeline(self):
+        """Finalize every pending frame's decisions and stats."""
+        while self._pending:
+            self._resolve_entry(self._pending.popleft())
 
     def _finish(self, st: FrameStats, t0: float):
         st.track_ms = (time.monotonic() - t0) * 1e3
@@ -234,14 +353,15 @@ class SLAMSession:
         if self.metrics is not None and every and self.state.frames % every == 0:
             recent = self.stats[-every:]
             mean_ms = sum(s.track_ms for s in recent) / len(recent)
+            # the newest frame's inlier fraction may still be in flight
+            # (pipeline placeholder -1) — average the resolved ones
+            inl = [s.inlier_fraction for s in recent if s.inlier_fraction >= 0]
             self.metrics.log(
                 "frame_window",
                 frames=self.state.frames,
                 fps=round(1e3 / max(mean_ms, 1e-6), 2),
                 mean_track_ms=round(mean_ms, 3),
-                inlier_fraction=round(
-                    sum(s.inlier_fraction for s in recent) / len(recent), 4
-                ),
+                inlier_fraction=round(sum(inl) / max(len(inl), 1), 4),
                 keyframes=self.state.keyframes,
                 map_points=self.map_point_count(),
                 loops=self.state.loops,
@@ -249,12 +369,17 @@ class SLAMSession:
             )
 
     def _log_pose(self, ts: float):
+        i = len(self._traj_ts)
+        if i >= self._traj_cap:  # grow the device ring (rare, re-jits once)
+            pad = jnp.zeros((self._traj_cap, 4, 4), jnp.float32)
+            self._traj_T_dev = jnp.concatenate([self._traj_T_dev, pad])
+            self._traj_kfT_dev = jnp.concatenate([self._traj_kfT_dev, pad])
+            self._traj_cap *= 2
         self._traj_ts.append(ts)
-        self._traj_T.append(np.asarray(self.T_world))
         self._frame_kf_idx.append(self.last_kf_idx)
-        self._kf_T_at_frame.append(
-            np.asarray(self.map.kf_pose[self.last_kf_idx])
-            if self.last_kf_idx >= 0 else np.eye(4, dtype=np.float32)
+        kfT = self.last_kf_T if self.last_kf_idx >= 0 else jnp.eye(4)
+        self._traj_T_dev, self._traj_kfT_dev = _traj_append(
+            self._traj_T_dev, self._traj_kfT_dev, np.int32(i), self.T_world, kfT
         )
 
     def _should_insert(self, inlier_ratio: float) -> bool:
@@ -266,13 +391,25 @@ class SLAMSession:
         )
 
     # -------------------------------------------------------------- keyframe
-    def _insert_keyframe(self, ts, depth_raw, rgb) -> dict:
+    def _insert_keyframe(self, ts, depth_raw, rgb, T_pose=None) -> dict:
+        """Insert a keyframe observed at pose `T_pose` (the frame's own
+        pose estimate — under decision pipelining the live `T_world` has
+        already advanced past it)."""
+        if T_pose is None:
+            T_pose = self.T_world
         out: dict = {}
+        # Host mirror of the capacity check: `insert_keyframe` drops at
+        # capacity deterministically, so the host knows the new slot
+        # without reading `map.n_kf` back (a blocking device round-trip).
+        M = self.cfg.keyframes.max_keyframes
+        if self._n_kf_host >= M:
+            log.warning("keyframe capacity %d reached — insert dropped", M)
+            return out
         kp, desc, pts, ok = self._features(depth_raw, rgb)
 
         # associate against the map (reprojection + depth gates, plus the
         # 3D merge tier that suppresses duplicate-point spawns)
-        if int(self.map.n_kf) > 0:
+        if self._n_kf_host > 0:
             match_pid = smap.match_against_map(
                 self.map, desc.signs, ok, kp.uv, pts[:, 2], self.T_world,
                 cam=self.cfg.camera,
@@ -288,14 +425,20 @@ class SLAMSession:
             self.map, self.T_world, jnp.float32(ts), kp.uv, pts, ok,
             desc.signs, match_pid,
         )
-        kf_idx = int(self.map.n_kf) - 1
+        kf_idx = self._n_kf_host
+        self._n_kf_host += 1
         self.last_kf_idx = kf_idx
-        self.last_kf_T = self.map.kf_pose[kf_idx]
+        # dynamic-index gathers (jnp.take with an ARRAY index): a Python-int
+        # `kf_pose[kf_idx]` bakes the index into the executable and forces a
+        # fresh XLA compile per keyframe slot — seconds each on a
+        # remote-compile TPU
+        self.last_kf_T = jnp.take(self.map.kf_pose, jnp.int32(kf_idx), axis=0)
         self.state.keyframes += 1
 
         # odometry edge between consecutive keyframes
         if prev_kf_idx >= 0:
-            T_rel = se3.inverse(self.map.kf_pose[prev_kf_idx]) @ self.T_world
+            T_prev = jnp.take(self.map.kf_pose, jnp.int32(prev_kf_idx), axis=0)
+            T_rel = se3.inverse(T_prev) @ self.T_world
             self.edges, self.n_edges = self.edges.add(
                 self.n_edges, prev_kf_idx, kf_idx, T_rel, weight=1.0
             )
@@ -314,13 +457,15 @@ class SLAMSession:
         # backend: local BA + loop closure + pose graph — inline, or
         # handed to the worker thread (snapshot of the immutable map).
         job = bworker.BackendJob(
-            map=self.map, edges=self.edges, n_edges=self.n_edges, kf_idx=kf_idx
+            map=self.map, edges=self.edges, n_edges=self.n_edges,
+            kf_idx=kf_idx, n_kf=self._n_kf_host,
         )
         if self.worker is not None:
             self.worker.submit(job)  # busy => recorded skip, never blocks
         else:
             res = bworker.backend_pass(
-                job.map, job.edges, job.n_edges, job.kf_idx, self.cfg
+                job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
+                n_kf=job.n_kf,
             )
             self._apply_backend(res)
             out["ba_rmse"] = res.ba_rmse
@@ -340,9 +485,9 @@ class SLAMSession:
         """
         if r is None:
             return
-        snap = r.snap_kf_idx
-        T_old = self.map.kf_pose[snap]
-        T_new = r.kf_pose[snap]
+        snap = jnp.int32(r.snap_kf_idx)  # array index: no per-slot recompile
+        T_old = jnp.take(self.map.kf_pose, snap, axis=0)
+        T_new = jnp.take(r.kf_pose, snap, axis=0)
         C = se3.normalize_rotation(T_new @ se3.inverse(T_old))
 
         slot = jnp.arange(self.map.capacity_kf)
@@ -367,8 +512,14 @@ class SLAMSession:
             )
             self.state.loops += 1
         self.T_world = se3.normalize_rotation(C @ self.T_world)
+        # still-pending frame estimates inherited the pre-merge anchor; a
+        # keyframe inserted from one must land in the corrected frame
+        for e in self._pending:
+            e.T = C @ e.T
         if self.last_kf_idx >= 0:
-            self.last_kf_T = self.map.kf_pose[self.last_kf_idx]
+            self.last_kf_T = jnp.take(
+                self.map.kf_pose, jnp.int32(self.last_kf_idx), axis=0
+            )
         if self.metrics is not None:
             self.metrics.log(
                 "backend", kf=snap, ba_rmse=round(r.ba_rmse, 3),
@@ -376,7 +527,8 @@ class SLAMSession:
             )
 
     def sync_backend(self, timeout: float = 30.0):
-        """Drain the backend worker and merge its result (no-op inline)."""
+        """Drain the pipeline and the backend worker, merging results."""
+        self.flush_pipeline()
         if self.worker is not None:
             self._apply_backend(self.worker.poll())
             self._apply_backend(self.worker.flush(timeout))
@@ -389,10 +541,14 @@ class SLAMSession:
             self.worker = None
 
     # ---------------------------------------------------------- reloc/reset
-    def _relocalize(self, depth_raw, rgb) -> bool:
-        """Match current features against all map points; solve 3D-3D."""
-        if int(self.map.n_kf) == 0:
-            return False
+    def _relocalize(self, depth_raw, rgb) -> Optional[jax.Array]:
+        """Match the frame's features against all map points; solve 3D-3D.
+
+        Returns the relocalized camera-to-world pose, or None on failure —
+        the caller decides how to apply it (under decision pipelining the
+        live pose has advanced past the lost frame)."""
+        if self._n_kf_host == 0:
+            return None
         kp, desc, pts, ok = self._features(depth_raw, rgb)
         m = fmatch.match(
             desc.signs, ok, self.map.pt_signs.astype(jnp.int8), self.map.pt_valid,
@@ -404,10 +560,9 @@ class SLAMSession:
         res = solve_pose3d(pts, target, m.valid & ok, iters=8)
         if bool(res.ok):
             # res.T maps camera-frame pts onto world points => T_world_cam
-            self.T_world = se3.normalize_rotation(res.T)
             log.info("relocalized with %d inliers", int(res.inliers))
-            return True
-        return False
+            return se3.normalize_rotation(res.T)
+        return None
 
     def reset(self):
         """Full system reset (`resetSlam` parity, `SLAM.cpp:220-228`)."""
@@ -416,6 +571,28 @@ class SLAMSession:
         self.__init__(self.cfg, metrics=self.metrics, async_backend=was_async)
 
     # -------------------------------------------------------------- outputs
+    def _traj_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(ts, frame poses, frame kf indices, kf-pose-at-frame) — the raw
+        trajectory log, fetched from the device ring in ONE transfer."""
+        n = len(self._traj_ts)
+        return (
+            np.asarray(self._traj_ts),
+            np.asarray(self._traj_T_dev[:n]),
+            np.asarray(self._frame_kf_idx, dtype=np.int32),
+            np.asarray(self._traj_kfT_dev[:n]),
+        )
+
+    def _restore_traj(self, ts, T, kf_idx, kfT):
+        """Inverse of `_traj_arrays` (checkpoint restore)."""
+        n = len(ts)
+        while self._traj_cap < n:
+            self._traj_cap *= 2
+        self._traj_ts = list(ts)
+        self._frame_kf_idx = [int(i) for i in kf_idx]
+        pad = np.zeros((self._traj_cap - n, 4, 4), np.float32)
+        self._traj_T_dev = jnp.asarray(np.concatenate([T, pad]) if n else pad)
+        self._traj_kfT_dev = jnp.asarray(np.concatenate([kfT, pad]) if n else pad)
+
     def poses(self) -> tuple[np.ndarray, np.ndarray]:
         """(timestamps (n,), camera trajectory (n, 4, 4)) — loop-corrected.
 
@@ -423,10 +600,10 @@ class SLAMSession:
         (optimized) pose: T = T_kf_now @ (T_kf_then^-1 @ T_frame_then).
         """
         self.sync_backend()
-        ts = np.asarray(self._traj_ts)
+        ts, traj_T, kf_idx, kf_T_then = self._traj_arrays()
         out = []
         kf_pose_now = np.asarray(self.map.kf_pose)
-        for T, kf_i, T_kf_then in zip(self._traj_T, self._frame_kf_idx, self._kf_T_at_frame):
+        for T, kf_i, T_kf_then in zip(traj_T, kf_idx, kf_T_then):
             if kf_i >= 0:
                 out.append(kf_pose_now[kf_i] @ np.linalg.inv(T_kf_then) @ T)
             else:
@@ -435,7 +612,7 @@ class SLAMSession:
 
     def keyframe_poses(self) -> tuple[np.ndarray, np.ndarray]:
         self.sync_backend()
-        n = int(self.map.n_kf)
+        n = self._n_kf_host
         return (np.asarray(self.map.kf_time[:n]), np.asarray(self.map.kf_pose[:n]))
 
     def map_point_count(self) -> int:

@@ -34,3 +34,17 @@ def rng():
     regardless of execution order (a session-scoped rng made test inputs
     depend on which tests ran before — order-dependent flakiness)."""
     return np.random.default_rng(0)
+
+
+# Fast smoke tier: `pytest -m quick` runs the cheap unit files (< ~1 min
+# total) for inner-loop development; the full suite stays the CI gate.
+_QUICK_FILES = {
+    "test_se3.py", "test_camera.py", "test_features.py", "test_io.py",
+    "test_map_backend.py", "test_viz_cli.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)

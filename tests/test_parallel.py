@@ -131,6 +131,62 @@ class TestBatchTrack:
             assert np.linalg.norm(e[:3]) < 5e-3, f"seq {b}: {np.linalg.norm(e[:3])}"
 
 
+class TestShardedMapAssociation:
+    """Map-block sharding: points distributed over `model`, winners
+    halo-exchanged — must equal the single-device gated association."""
+
+    def _scene(self, rng, K=64, cap=512):
+        from slam_rgbd_tpu.core.config import KeyframeConfig
+        from slam_rgbd_tpu.mapping import map as smap
+
+        kcfg = KeyframeConfig(max_keyframes=8, max_map_points=cap)
+        m = smap.empty_map(kcfg, K)
+        pts_w = np.stack([
+            rng.uniform(-1.5, 1.5, K), rng.uniform(-1.0, 1.0, K),
+            rng.uniform(2.0, 4.0, K)], axis=1).astype(np.float32)
+        z = pts_w[:, 2]
+        u = CAM.fx * pts_w[:, 0] / z + CAM.cx
+        v = CAM.fy * pts_w[:, 1] / z + CAM.cy
+        ok = (u >= 0) & (u < CAM.width) & (v >= 0) & (v < CAM.height)
+        uv = np.stack([u, v], 1).astype(np.float32)
+        signs = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+        m = smap.insert_keyframe(
+            m, jnp.eye(4), 0.0, jnp.asarray(uv), jnp.asarray(pts_w),
+            jnp.asarray(ok), jnp.asarray(signs),
+            jnp.full((K,), -1, jnp.int32),
+        )
+        return smap, m, uv, pts_w, ok, signs
+
+    def test_matches_single_device(self, rng):
+        smap, m, uv, pc, ok, signs = self._scene(rng)
+        uv_q = (uv + rng.normal(0, 2.0, uv.shape)).astype(np.float32)
+        z_q = (pc[:, 2] * (1 + rng.normal(0, 0.02, len(pc)))).astype(np.float32)
+        ref = smap.match_against_map(
+            m, jnp.asarray(signs), jnp.asarray(ok), jnp.asarray(uv_q),
+            jnp.asarray(z_q), jnp.eye(4), cam=CAM, backend="xla",
+            kp_pts=jnp.asarray(pc), merge_radius=0.08)
+        mesh = pmesh.make_mesh(MeshConfig(data=1, model=8))
+        got = dist.sharded_map_association(
+            mesh, jnp.asarray(signs), jnp.asarray(ok), jnp.asarray(uv_q),
+            jnp.asarray(z_q), jnp.eye(4),
+            m.pt_xyz, m.pt_signs, m.pt_valid, CAM,
+            kp_pts=jnp.asarray(pc), merge_radius=0.08)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        assert (np.asarray(got) >= 0).sum() > 0.5 * ok.sum()
+
+    def test_no_merge_tier(self, rng):
+        smap, m, uv, pc, ok, signs = self._scene(rng)
+        ref = smap.match_against_map(
+            m, jnp.asarray(signs), jnp.asarray(ok), jnp.asarray(uv),
+            jnp.asarray(pc[:, 2]), jnp.eye(4), cam=CAM, backend="xla")
+        mesh = pmesh.make_mesh(MeshConfig(data=1, model=8))
+        got = dist.sharded_map_association(
+            mesh, jnp.asarray(signs), jnp.asarray(ok), jnp.asarray(uv),
+            jnp.asarray(pc[:, 2]), jnp.eye(4),
+            m.pt_xyz, m.pt_signs, m.pt_valid, CAM)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestShardedMatch:
     def test_matches_single_device(self, rng):
         K1, K2 = 256, 192

@@ -21,7 +21,7 @@ from slam_rgbd_tpu.eval.trajectory import ate_rmse, load_trajectory_tum
 from slam_rgbd_tpu.io import stream as st
 from slam_rgbd_tpu.io.synthetic import SyntheticSequence
 from slam_rgbd_tpu.runtime import checkpoint
-from slam_rgbd_tpu.runtime.runner import PipelineRunner
+from slam_rgbd_tpu.runtime.runner import ControlMenu, PipelineRunner
 from slam_rgbd_tpu.runtime.session import SLAMSession
 from slam_rgbd_tpu.runtime.watchdog import GracefulShutdown, Watchdog
 
@@ -46,13 +46,85 @@ class TestSLAMSession:
         seq = SyntheticSequence(25, CAM, step_t=0.015, step_r=0.012)
         sess = SLAMSession(cfg)
         for ts, d, c in seq:
-            stt = sess.process_frame(ts, d, c)
-            assert stt.tracking_ok
-        ts, est = sess.poses()
+            sess.process_frame(ts, d, c)
+        ts, est = sess.poses()  # flushes the decision pipeline
+        assert all(s.tracking_ok for s in sess.stats)
+        # pipeline contract: every frame's control scalars resolved
+        assert all(s.inlier_fraction >= 0 for s in sess.stats)
         rmse, _, _ = ate_rmse(est, seq.groundtruth())
         assert rmse < 0.02, f"session ATE {rmse:.4f}"
         assert sess.state.keyframes >= 3
         assert sess.map_point_count() > 200
+
+    def test_deep_decision_lag(self, monkeypatch):
+        """Force the decision pipeline to its lag bound (summaries 'never'
+        land): keyframes insert from STASHED poses several frames late,
+        the min-gap guard prevents duplicate bursts, and accuracy holds —
+        the high-latency-link operating mode (RuntimeConfig.max_decision_lag)."""
+        from slam_rgbd_tpu.core.config import RuntimeConfig
+        from slam_rgbd_tpu.runtime import session as sess_mod
+
+        monkeypatch.setattr(sess_mod._PendingFrame, "ready", lambda self: False)
+        cfg = small_config().replace(runtime=RuntimeConfig(max_decision_lag=4))
+        seq = SyntheticSequence(25, CAM, step_t=0.015, step_r=0.012)
+        sess = SLAMSession(cfg)
+        for ts, d, c in seq:
+            sess.process_frame(ts, d, c)
+            assert len(sess._pending) <= 4
+        _, est = sess.poses()
+        assert all(s.tracking_ok for s in sess.stats)
+        # keyframes land ~4 frames late (16% of this short clip), which
+        # coarsens the BA anchoring — a modest, expected accuracy cost,
+        # still far inside the 5 cm BASELINE envelope
+        rmse, _, _ = ate_rmse(est, seq.groundtruth())
+        assert rmse < 0.03, f"lag-4 session ATE {rmse:.4f}"
+        assert sess.state.keyframes >= 3
+        # min-gap guard: no two keyframes closer than the configured gap
+        kf_frames = [i for i, s in enumerate(sess.stats) if s.is_keyframe]
+        gaps = np.diff(kf_frames)
+        assert (gaps >= cfg.keyframes.kf_min_gap_frames).all(), kf_frames
+
+    def test_noisy_sensor_ate_gate(self):
+        """Kinect-class sensor noise (axial z^2 noise, silhouette dropout,
+        brightness flicker — `io.synthetic.NoiseSpec`): the tracker must
+        stay within the BASELINE.md 5 cm ATE envelope instead of only
+        enjoying noiseless raycasts."""
+        from slam_rgbd_tpu.io.synthetic import NoiseSpec
+
+        cfg = small_config()
+        seq = SyntheticSequence(25, CAM, step_t=0.015, step_r=0.012,
+                                noise=NoiseSpec())
+        sess = SLAMSession(cfg)
+        for ts, d, c in seq:
+            sess.process_frame(ts, d, c)
+        _, est = sess.poses()  # flushes the decision pipeline
+        n_ok = sum(s.tracking_ok for s in sess.stats)
+        assert n_ok >= len(seq) - 2, f"tracking lost on {len(seq) - n_ok} frames"
+        rmse, _, _ = ate_rmse(est, seq.groundtruth())
+        assert rmse < 0.05, f"noisy-session ATE {rmse:.4f}"
+        assert sess.state.keyframes >= 3
+
+    def test_noise_model_statistics(self):
+        """The noise model actually corrupts: dropout holes, depth std
+        grows with range, brightness shifts."""
+        from slam_rgbd_tpu.io.synthetic import NoiseSpec
+
+        clean = SyntheticSequence(2, CAM)
+        noisy = SyntheticSequence(2, CAM, noise=NoiseSpec())
+        _, d0, c0 = clean.frame(0)
+        _, d1, c1 = noisy.frame(0)
+        both = (d0 > 0) & (d1 > 0)
+        holes = float(((d0 > 0) & (d1 == 0)).mean())
+        assert 0.001 < holes < 0.5, holes  # silhouette + random dropout
+        dz = np.abs(d1[both].astype(np.float32) - d0[both].astype(np.float32))
+        z = d0[both].astype(np.float32) / CAM.depth_scale
+        near, far = dz[z < 2.0], dz[z > 3.0]
+        assert far.mean() > 1.5 * near.mean()  # axial noise grows with z
+        assert not np.array_equal(c0, c1)
+        # per-frame keys differ: frame 1 noise != frame 0 noise
+        _, d1b, _ = noisy.frame(1)
+        _, d0b, _ = clean.frame(1)
+        assert not np.array_equal(d1 ^ d0, d1b ^ d0b)
 
     def test_trajectory_export(self, tmp_path):
         cfg = small_config()
@@ -70,31 +142,25 @@ class TestSLAMSession:
         assert len(ts2) == sess.state.keyframes
 
     def test_async_backend_split(self):
-        """BA/loop closure on the worker thread: tracking frames never run
-        the backend inline, corrections land, and the ATE gate still holds
-        (VERDICT round-1 item #2)."""
+        """BA/loop closure on the worker thread: backend jobs are
+        dispatched (not run inline), corrections land, and the ATE gate
+        still holds (VERDICT round-1 item #2)."""
         cfg = small_config()
         seq = SyntheticSequence(25, CAM, step_t=0.015, step_r=0.012)
         sess = SLAMSession(cfg, async_backend=True)
-        dispatched = 0
         try:
-            for i, (ts, d, c) in enumerate(seq):
-                stt = sess.process_frame(ts, d, c)
-                assert stt.tracking_ok
-                if stt.is_keyframe and i > 0:
-                    # the backend job must be IN FLIGHT (or done, pending
-                    # merge) — i.e. it was dispatched, not run inline
-                    w = sess.worker
-                    assert w._job is not None or w._result is not None
-                    dispatched += 1
-            assert dispatched >= 2
-            completed = sess.worker.completed
-            ts_, est = sess.poses()  # syncs the backend
-            assert sess.worker.completed + sess.worker.skipped >= dispatched
-            assert completed >= 1
+            for ts, d, c in seq:
+                sess.process_frame(ts, d, c)
+            ts_, est = sess.poses()  # flushes pipeline + syncs the backend
+            # every keyframe after the window warm-up dispatched a backend
+            # job: submitted = completed + skipped-while-busy
+            dispatched = sess.worker.completed + sess.worker.skipped
+            assert sess.state.keyframes >= 3
+            assert dispatched >= sess.state.keyframes - 1
+            assert sess.worker.completed >= 1
+            assert all(s.tracking_ok for s in sess.stats)
             rmse, _, _ = ate_rmse(est, seq.groundtruth())
             assert rmse < 0.02, f"async-session ATE {rmse:.4f}"
-            assert sess.state.keyframes >= 3
             # keyframe frames no longer stall on BA: their latency stays
             # within a small factor of plain tracking frames (they still
             # run detection + insertion inline)
@@ -106,6 +172,56 @@ class TestSLAMSession:
                 assert med_kf < 6 * med_nk, (med_kf, med_nk)
         finally:
             sess.close()
+
+    def test_interactive_control_menu(self, tmp_path):
+        """Scripted-stdin session through `ControlMenu` (`main.c:57-159`
+        parity): status query, record start/stop, quit — quit is the ONLY
+        thing that ends the endless source, so shutdown is proven."""
+        import io
+        import itertools
+
+        cfg = small_config()
+        seq = SyntheticSequence(2, CAM)
+        f0, f1 = seq.frame(0), seq.frame(1)
+
+        def endless():
+            for i in itertools.count():
+                ts, d, c = (f0, f1)[i % 2]
+                yield (i / 30.0, d, c)
+
+        runner = PipelineRunner(cfg, st.paced(endless(), 30.0))
+        rec_path = str(tmp_path / "menu_clip.rgbd")
+        r_fd, w_fd = os.pipe()
+        infile = os.fdopen(r_fd, "r")
+        out = io.StringIO()
+        menu = ControlMenu(runner, infile=infile, outfile=out)
+        menu.start()
+
+        def script():
+            with os.fdopen(w_fd, "w") as w:
+                for cmd, delay in (
+                    ("s", 0.8), (f"1 {rec_path}", 0.8), ("2", 0.3),
+                    ("bogus", 0.1), ("q", 0.0),
+                ):
+                    w.write(cmd + "\n")
+                    w.flush()
+                    time.sleep(delay)
+
+        writer = threading.Thread(target=script, daemon=True)
+        writer.start()
+        sess = runner.run(threads=True)  # returns ONLY because of 'q'
+        writer.join(timeout=10)
+        infile.close()
+
+        text = out.getvalue()
+        assert "status: frames=" in text
+        assert "shutting down" in text
+        assert "menu:" in text.lower()  # bogus input re-prints the menu
+        assert sess.state.frames > 0
+        # the record window captured at least one frame, readable back
+        clip = list(st.StreamReader(rec_path))
+        assert len(clip) >= 1
+        assert clip[0][1].shape == (CAM.height, CAM.width)
 
     def test_reset(self):
         cfg = small_config()
