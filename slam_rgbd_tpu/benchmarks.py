@@ -247,6 +247,77 @@ def bench_kernels(cfg, frames):
     return {"kernel_sol": out}
 
 
+def bench_ba(cfg, timing_iters=30):
+    """Local-BA ms/iteration on the worker's own workload shape
+    (BASELINE.md:31: "BA ms/iteration reported").
+
+    The backend worker calls `local_ba` over a 2*window keyframe set with
+    the full point table and the per-keyframe observation grid
+    (`backend/worker.py:111-118`); this reproduces that exact shape with
+    synthetic-but-consistent geometry (points projected into real poses,
+    sub-pixel noise) so the Tukey/gating branches run on realistic data.
+    """
+    from slam_rgbd_tpu.backend.ba import local_ba
+
+    cam = cfg.camera
+    W = 2 * cfg.ba.window
+    K = 1024  # n_features: per-keyframe observation budget
+    P = cfg.keyframes.max_map_points
+
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [
+            rng.uniform(-2.0, 2.0, P),
+            rng.uniform(-1.5, 1.5, P),
+            rng.uniform(1.0, 4.0, P),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+    for i in range(W):
+        a = 0.02 * i
+        ca, sa = np.cos(a), np.sin(a)
+        poses[i, :3, :3] = np.array(
+            [[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]], np.float32
+        )
+        poses[i, :3, 3] = [0.05 * i, 0.0, -0.02 * i]
+
+    pid = rng.integers(0, P, (W, K)).astype(np.int32)
+    obs_uv = np.zeros((W, K, 2), np.float32)
+    obs_z = np.zeros((W, K), np.float32)
+    obs_ok = np.zeros((W, K), bool)
+    for i in range(W):
+        T_cw = np.linalg.inv(poses[i])
+        p_c = pts[pid[i]] @ T_cw[:3, :3].T + T_cw[:3, 3]
+        z = p_c[:, 2]
+        u = cam.fx * p_c[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * p_c[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        obs_uv[i, :, 0] = u + rng.normal(0, 0.5, K)
+        obs_uv[i, :, 1] = v + rng.normal(0, 0.5, K)
+        obs_z[i] = z
+        obs_ok[i] = (z > 0.1) & (u >= 0) & (u < 640) & (v >= 0) & (v < 480)
+
+    valid = jnp.ones((W,), bool)
+    free = jnp.arange(W) >= cfg.ba.window
+    args = jax.device_put(
+        (jnp.asarray(poses), valid, jnp.asarray(pts), jnp.asarray(obs_uv),
+         jnp.asarray(obs_z), jnp.asarray(pid), jnp.asarray(obs_ok))
+    )
+
+    def run():
+        res = local_ba(*args, cam, cfg.ba, free_mask=free)
+        return res.kf_pose
+
+    t = _time_device(run, iters=timing_iters)
+    n_obs = int(obs_ok.sum())
+    return {
+        "ba_ms_per_iter": round(t * 1e3 / cfg.ba.iters, 3),
+        "ba_window_kf": W,
+        "ba_obs": n_obs,
+    }
+
+
 def main():
     from slam_rgbd_tpu.core.config import astra_default_config
 
@@ -263,6 +334,8 @@ def main():
     extras.update(bench_tracking(cfg, frames))
     _note("kernel speed-of-light bench")
     extras.update(bench_kernels(cfg, frames))
+    _note("local-BA ms/iteration bench")
+    extras.update(bench_ba(cfg))
     _note("full-session bench (warmup pass compiles every path)")
     session = bench_session(cfg, frames)
     extras.update(session)
