@@ -251,13 +251,13 @@ def bench_ba(cfg, timing_iters=30):
     """Local-BA ms/iteration on the worker's own workload shape
     (BASELINE.md:31: "BA ms/iteration reported").
 
-    The backend worker calls `local_ba` over a 2*window keyframe set with
-    the full point table and the per-keyframe observation grid
-    (`backend/worker.py:111-118`); this reproduces that exact shape with
+    The backend worker calls `windowed_local_ba` over a 2*window keyframe
+    set with the full point table and the per-keyframe observation grid
+    (`backend/worker.py`); this reproduces that exact shape with
     synthetic-but-consistent geometry (points projected into real poses,
     sub-pixel noise) so the Tukey/gating branches run on realistic data.
     """
-    from slam_rgbd_tpu.backend.ba import local_ba
+    from slam_rgbd_tpu.backend.ba import windowed_local_ba
 
     cam = cfg.camera
     W = 2 * cfg.ba.window
@@ -283,7 +283,11 @@ def bench_ba(cfg, timing_iters=30):
         )
         poses[i, :3, 3] = [0.05 * i, 0.0, -0.02 * i]
 
-    pid = rng.integers(0, P, (W, K)).astype(np.int32)
+    # a real sliding window observes a SHARED point set (points recur
+    # across keyframes): draw ids from a window-sized subset of the full
+    # table so the compact solve sees its actual operating occupancy
+    window_ids = rng.choice(P, cfg.ba.max_points_per_window, replace=False)
+    pid = window_ids[rng.integers(0, len(window_ids), (W, K))].astype(np.int32)
     obs_uv = np.zeros((W, K, 2), np.float32)
     obs_z = np.zeros((W, K), np.float32)
     obs_ok = np.zeros((W, K), bool)
@@ -306,7 +310,7 @@ def bench_ba(cfg, timing_iters=30):
     )
 
     def run():
-        res = local_ba(*args, cam, cfg.ba, free_mask=free)
+        res = windowed_local_ba(*args, cam, cfg.ba, free_mask=free)
         return res.kf_pose
 
     t = _time_device(run, iters=timing_iters)

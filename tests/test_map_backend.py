@@ -327,6 +327,80 @@ class TestLocalBA:
         np.testing.assert_allclose(np.asarray(res.kf_pose[0]), poses[0], atol=1e-6)
 
 
+class TestWindowedLocalBA:
+    """The compacted product path (backend/worker.py) vs. the full-table
+    solver: identical math on arrays sized to the observed set."""
+
+    def _problem(self, rng, W=4, n_pts=128, P=1024):
+        pts_w = _make_world(rng, n_pts)
+        poses_gt = []
+        T = np.eye(4, dtype=np.float32)
+        for _ in range(W):
+            poses_gt.append(T.copy())
+            T = T @ np.asarray(se3.exp(jnp.asarray(
+                np.array([0.08, 0.01, 0.02, 0.01, 0.03, 0.005], np.float32))))
+        poses_gt = np.stack(poses_gt)
+        obs_uv = np.zeros((W, n_pts, 2), np.float32)
+        obs_z = np.zeros((W, n_pts), np.float32)
+        obs_ok = np.zeros((W, n_pts), bool)
+        for w in range(W):
+            uv, pc, ok = _observe(poses_gt[w], pts_w)
+            obs_uv[w], obs_z[w], obs_ok[w] = uv, pc[:, 2], ok
+        # scatter the observed points through a sparse full table so the
+        # compaction remap (non-contiguous ids) is actually exercised
+        ids = np.sort(rng.choice(P, n_pts, replace=False)).astype(np.int32)
+        table = rng.normal(size=(P, 3)).astype(np.float32) + np.array(
+            [0, 0, 10], np.float32)
+        pts_init = pts_w + rng.normal(size=pts_w.shape).astype(np.float32) * 0.02
+        table[ids] = pts_init
+        obs_pid = np.tile(ids, (W, 1))
+        poses_init = poses_gt.copy()
+        for w in range(1, W):
+            xi = rng.normal(size=6).astype(np.float32) * 0.015
+            poses_init[w] = poses_gt[w] @ np.asarray(se3.exp(jnp.asarray(xi)))
+        return poses_init, table, obs_uv, obs_z, obs_pid, obs_ok, ids
+
+    def test_matches_full_table(self, rng):
+        poses, table, uv, z, pid, ok, ids = self._problem(rng)
+        W = poses.shape[0]
+        cfg = BAConfig(iters=5)
+        args = (jnp.asarray(poses), jnp.ones(W, bool), jnp.asarray(table),
+                jnp.asarray(uv), jnp.asarray(z), jnp.asarray(pid),
+                jnp.asarray(ok))
+        full = ba.local_ba(*args, CAM, cfg)
+        win = ba.windowed_local_ba(*args, CAM, cfg)
+        assert int(win.n_obs) == int(full.n_obs) > 0
+        np.testing.assert_allclose(
+            np.asarray(win.kf_pose), np.asarray(full.kf_pose), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(win.pt_xyz)[ids], np.asarray(full.pt_xyz)[ids], atol=1e-3)
+        # unobserved table rows must be untouched
+        mask = np.ones(table.shape[0], bool)
+        mask[ids] = False
+        np.testing.assert_array_equal(np.asarray(win.pt_xyz)[mask], table[mask])
+
+    def test_overflow_masks_excess_points(self, rng):
+        """More observed points than the compact budget: the solve drops the
+        overflow's observations instead of corrupting state."""
+        poses, table, uv, z, pid, ok, ids = self._problem(rng)
+        W = poses.shape[0]
+        cfg = BAConfig(iters=3, max_points_per_window=64)
+        win = ba.windowed_local_ba(
+            jnp.asarray(poses), jnp.ones(W, bool), jnp.asarray(table),
+            jnp.asarray(uv), jnp.asarray(z), jnp.asarray(pid),
+            jnp.asarray(ok), CAM, cfg)
+        out = np.asarray(win.pt_xyz)
+        assert np.all(np.isfinite(np.asarray(win.kf_pose)))
+        # only the first 64 VALIDLY-OBSERVED ids may move (compaction picks
+        # observed ids in table order); the overflow stays put
+        obs_ids = np.unique(pid[ok])
+        budget = set(obs_ids[:64].tolist())
+        moved = ~np.isclose(out, table, atol=0).all(axis=1)
+        overflow = np.array([i for i in obs_ids if i not in budget])
+        assert not moved[overflow].any()
+        assert np.all(np.isfinite(out))
+
+
 class TestPoseGraph:
     def _chain(self, rng, n, drift=0.0):
         """Ground-truth chain + odometry edges (optionally drifted)."""
