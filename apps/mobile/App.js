@@ -1,9 +1,9 @@
 // Mobile client for the SLAM point-cloud server (component C13 in
-// SURVEY.md §2). The reference's mobile app is an empty Expo placeholder
-// (/root/reference/Youth.App/Youth.Mobile/App.js:4-11 renders a static
-// <Text>); this one actually talks to the framework: it polls the web
-// viewer backend's GET /pointcloud (slam_rgbd_tpu/viz/server.py) and
-// shows live map statistics, with pull-to-refresh.
+// SURVEY.md §2). The upstream project's mobile app is an empty Expo
+// placeholder (Youth.App/Youth.Mobile/App.js renders a static <Text>);
+// this one actually talks to the framework: it polls the web viewer
+// backend's GET /pointcloud (slam_rgbd_tpu/viz/server.py) and shows live
+// map statistics, with pull-to-refresh.
 import { useCallback, useEffect, useState } from 'react';
 import {
   RefreshControl, ScrollView, StyleSheet, Text, TextInput, View,
@@ -26,15 +26,18 @@ function summarize(cloud) {
 }
 
 export default function App() {
+  // The input edits a DRAFT; `host` only commits on submit, so typing in
+  // the field never fires fetches at partially-typed URLs.
+  const [draft, setDraft] = useState(DEFAULT_HOST);
   const [host, setHost] = useState(DEFAULT_HOST);
   const [stats, setStats] = useState(null);
   const [error, setError] = useState(null);
   const [refreshing, setRefreshing] = useState(false);
 
-  const load = useCallback(async () => {
+  const load = useCallback(async (target) => {
     setRefreshing(true);
     try {
-      const r = await fetch(`${host}/pointcloud`);
+      const r = await fetch(`${target}/pointcloud`);
       if (!r.ok) throw new Error(`HTTP ${r.status}`);
       setStats(summarize(await r.json()));
       setError(null);
@@ -43,23 +46,30 @@ export default function App() {
     } finally {
       setRefreshing(false);
     }
-  }, [host]);
+  }, []);
 
-  useEffect(() => { load(); }, [load]);
+  // fetch on mount only; afterwards on submit or pull-to-refresh
+  useEffect(() => { load(DEFAULT_HOST); }, [load]);
+
+  const submit = useCallback(() => {
+    setHost(draft);
+    load(draft);
+  }, [draft, load]);
+  const refresh = useCallback(() => { load(host); }, [host, load]);
 
   return (
     <ScrollView
       contentContainerStyle={styles.container}
-      refreshControl={<RefreshControl refreshing={refreshing} onRefresh={load} />}
+      refreshControl={<RefreshControl refreshing={refreshing} onRefresh={refresh} />}
     >
       <Text style={styles.title}>slam-rgbd-tpu</Text>
       <Text style={styles.label}>viewer server</Text>
       <TextInput
         style={styles.input}
-        value={host}
-        onChangeText={setHost}
+        value={draft}
+        onChangeText={setDraft}
         autoCapitalize="none"
-        onSubmitEditing={load}
+        onSubmitEditing={submit}
       />
       {error && <Text style={styles.error}>{error}</Text>}
       {stats && (

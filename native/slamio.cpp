@@ -11,9 +11,11 @@
 // tracker so device steps never wait on disk.
 //
 // C ABI only (consumed via ctypes). File format is identical to the
-// Python implementation in slam_rgbd_tpu/io/stream.py (magic "RGBDTPU1",
+// Python implementation in slam_rgbd_tpu/io/stream.py (magic "RGBDTPU2",
 // little-endian header: u64 frame_id, u64 ts_us, u32 type, u32 w, u32 h,
-// u32 depth_bytes, u32 color_bytes), validated bit-identical in tests.
+// u32 depth_bytes, u32 color_bytes, u32 crc32 of depth+color payload),
+// validated bit-identical in tests. Legacy "RGBDTPU1" recordings (no CRC
+// field) stay readable.
 
 #include <atomic>
 #include <condition_variable>
@@ -28,7 +30,8 @@
 
 namespace {
 
-constexpr char kMagic[8] = {'R', 'G', 'B', 'D', 'T', 'P', 'U', '1'};
+constexpr char kMagic[8] = {'R', 'G', 'B', 'D', 'T', 'P', 'U', '2'};
+constexpr char kMagicV1[8] = {'R', 'G', 'B', 'D', 'T', 'P', 'U', '1'};
 constexpr uint32_t kFrameSensor = 1;
 constexpr uint32_t kFrameEof = 2;
 
@@ -41,9 +44,28 @@ struct FrameHeader {
   uint32_t height;
   uint32_t depth_bytes;
   uint32_t color_bytes;
+  uint32_t crc32;  // zlib CRC32 over depth||color payload (v2 only)
 };
 #pragma pack(pop)
-static_assert(sizeof(FrameHeader) == 36, "header layout must match stream.py");
+static_assert(sizeof(FrameHeader) == 40, "header layout must match stream.py");
+constexpr size_t kHdrV1Bytes = 36;  // v1 header: no crc32 field
+
+// zlib-compatible CRC32 (IEEE polynomial, reflected).
+uint32_t crc32_update(uint32_t crc, const uint8_t* data, size_t n) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      table[i] = c;
+    }
+    init = true;
+  }
+  crc ^= 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i) crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
 
 struct Writer {
   FILE* f = nullptr;
@@ -54,7 +76,15 @@ struct Writer {
 struct Reader {
   FILE* f = nullptr;
   bool done = false;
+  bool v1 = false;  // legacy format: 36-byte header, no CRC check
 };
+
+// Reads one header, handling the v1/v2 layout difference.
+bool read_header(FILE* f, bool v1, FrameHeader* h) {
+  h->crc32 = 0;
+  size_t n = v1 ? kHdrV1Bytes : sizeof(FrameHeader);
+  return fread(h, 1, n, f) == n;
+}
 
 // One frame's payload in the ring.
 struct Slot {
@@ -156,6 +186,8 @@ int64_t slamio_writer_write(void* handle, uint64_t ts_us, uint32_t width,
   h.height = height;
   h.depth_bytes = width * height * 2;
   h.color_bytes = width * height * 3;
+  h.crc32 = crc32_update(crc32_update(0, depth, h.depth_bytes), color,
+                         h.color_bytes);
   if (fwrite(&h, sizeof(h), 1, w->f) != 1) return -1;
   if (fwrite(depth, 1, h.depth_bytes, w->f) != h.depth_bytes) return -1;
   if (fwrite(color, 1, h.color_bytes, w->f) != h.color_bytes) return -1;
@@ -183,12 +215,19 @@ void* slamio_reader_open(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   char magic[8];
-  if (!read_exact(f, magic, 8) || memcmp(magic, kMagic, 8) != 0) {
+  if (!read_exact(f, magic, 8)) {
+    fclose(f);
+    return nullptr;
+  }
+  bool v2 = memcmp(magic, kMagic, 8) == 0;
+  bool v1 = memcmp(magic, kMagicV1, 8) == 0;
+  if (!v2 && !v1) {
     fclose(f);
     return nullptr;
   }
   auto* r = new Reader();
   r->f = f;
+  r->v1 = v1;
   return r;
 }
 
@@ -200,7 +239,7 @@ int slamio_reader_next(void* handle, uint8_t* hdr_out, uint8_t* depth_buf,
   auto* r = static_cast<Reader*>(handle);
   if (r->done) return 0;
   FrameHeader h;
-  if (!read_exact(r->f, &h, sizeof(h))) {
+  if (!read_header(r->f, r->v1, &h)) {
     r->done = true;  // truncated recording: stop cleanly like stream.py
     return 0;
   }
@@ -215,6 +254,11 @@ int slamio_reader_next(void* handle, uint8_t* hdr_out, uint8_t* depth_buf,
   }
   if (!read_exact(r->f, depth_buf, h.depth_bytes)) return -1;
   if (!read_exact(r->f, rgb_buf, h.color_bytes)) return -1;
+  if (!r->v1) {
+    uint32_t crc = crc32_update(crc32_update(0, depth_buf, h.depth_bytes),
+                                rgb_buf, h.color_bytes);
+    if (crc != h.crc32) return -1;  // payload corrupted on disk
+  }
   memcpy(hdr_out, &h.frame_id, 8);
   memcpy(hdr_out + 8, &h.ts_us, 8);
   memcpy(hdr_out + 16, &h.width, 4);
@@ -301,7 +345,7 @@ void* slamio_prefetch_open(const char* path, uint32_t capacity,
     FILE* f = p->reader->f;
     while (!p->stop.load()) {
       Slot s;
-      if (!read_exact(f, &s.hdr, sizeof(s.hdr)) || s.hdr.type == kFrameEof) break;
+      if (!read_header(f, p->reader->v1, &s.hdr) || s.hdr.type == kFrameEof) break;
       if (s.hdr.type != kFrameSensor ||
           s.hdr.depth_bytes != s.hdr.width * s.hdr.height * 2 ||
           s.hdr.color_bytes != s.hdr.width * s.hdr.height * 3) {
@@ -312,6 +356,12 @@ void* slamio_prefetch_open(const char* path, uint32_t capacity,
       s.color.resize(s.hdr.color_bytes);
       if (!read_exact(f, s.depth.data(), s.hdr.depth_bytes) ||
           !read_exact(f, s.color.data(), s.hdr.color_bytes)) {
+        p->error.store(-1);
+        break;
+      }
+      if (!p->reader->v1 &&
+          crc32_update(crc32_update(0, s.depth.data(), s.hdr.depth_bytes),
+                       s.color.data(), s.hdr.color_bytes) != s.hdr.crc32) {
         p->error.store(-1);
         break;
       }

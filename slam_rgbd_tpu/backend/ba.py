@@ -42,6 +42,9 @@ class BAResult(NamedTuple):
     pt_xyz: jax.Array  # (P, 3) refined points (only observed ones move)
     rmse_px: jax.Array  # () reprojection RMSE over inliers, pixels
     n_obs: jax.Array  # () int32 active observations
+    pt_solved: jax.Array | None = None  # (P,) bool — points the solve moved
+    n_dropped: jax.Array | None = None  # () int32 — observed points beyond
+    # the per-window compaction budget (excluded from this pass)
 
 
 def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam):
@@ -315,19 +318,32 @@ def windowed_local_ba(
     runs the identical solver, and scatters the refined points back —
     same math, same result, on arrays sized to the actual problem.
 
-    If the window observes more than C distinct points, the overflow
-    (highest ids) keeps its observations masked out — those points simply
-    don't participate this pass, matching ORB-SLAM-style per-window point
-    budgets. One jitted program: compaction, solve, and scatter-back fuse
-    into a single device dispatch.
+    If the window observes more than C distinct points, the LEAST-observed
+    points are excluded from this pass (ORB-SLAM-style per-window point
+    budgets keep the best-constrained structure); the overflow count is
+    reported in `BAResult.n_dropped` so accuracy pressure is visible. One
+    jitted program: compaction, solve, and scatter-back fuse into a single
+    device dispatch.
     """
     P = pt_xyz.shape[0]
     C = min(cfg.max_points_per_window, P)
     ok = obs_ok & window_valid[:, None] & (obs_pid >= 0)
     pid_safe = jnp.where(ok, obs_pid, P)
 
-    observed = jnp.zeros((P + 1,), bool).at[pid_safe].set(True)[:P]
-    sel = jnp.nonzero(observed, size=C, fill_value=P)[0]  # (C,) ids, P = pad
+    n_obs_pt = jnp.zeros((P + 1,), jnp.int32).at[pid_safe].add(1)[:P]
+    observed = n_obs_pt > 0
+    n_observed = jnp.sum(observed.astype(jnp.int32))
+    # budget by observation count: a point seen by more window keyframes
+    # constrains more poses (ties break toward higher = newer ids, which
+    # are the ones still being refined)
+    # clamp counts so rank stays exactly representable in f32 (<2^24)
+    rank = jnp.where(
+        observed,
+        jnp.minimum(n_obs_pt, 255).astype(jnp.float32) * (P + 1) + jnp.arange(P),
+        -1.0,
+    )
+    _, sel = jax.lax.top_k(rank, C)  # (C,) point ids, best-constrained first
+    sel = jnp.where(jnp.take(observed, sel), sel, P)  # pad unobserved slots
     lookup = (
         jnp.full((P + 1,), -1, jnp.int32)
         .at[sel].set(jnp.arange(C, dtype=jnp.int32))
@@ -343,6 +359,9 @@ def windowed_local_ba(
         cam, cfg, free_mask=free_mask,
     )
     pt_new = pt_pad.at[sel].set(res.pt_xyz)[:P]
+    pt_solved = jnp.zeros((P + 1,), bool).at[sel].set(True)[:P]
     return BAResult(
-        kf_pose=res.kf_pose, pt_xyz=pt_new, rmse_px=res.rmse_px, n_obs=res.n_obs
+        kf_pose=res.kf_pose, pt_xyz=pt_new, rmse_px=res.rmse_px,
+        n_obs=res.n_obs, pt_solved=pt_solved,
+        n_dropped=jnp.maximum(n_observed - C, 0),
     )

@@ -28,7 +28,6 @@ Both the inline (synchronous) and threaded paths run the same
 
 from __future__ import annotations
 
-import functools
 import logging
 import threading
 import time
@@ -66,15 +65,6 @@ class BackendResult:
     loop_closed: bool = False
     ba_rmse: float = 0.0
     backend_ms: float = 0.0
-
-
-@functools.partial(jax.jit, static_argnames=("P",))
-def _adjusted_mask(point_id_w, kp_ok_w, valid_w, P: int):
-    """(P,) bool: map points observed by the BA window (the only ones BA
-    moves)."""
-    ok = kp_ok_w & valid_w[:, None] & (point_id_w >= 0)
-    idx = jnp.where(ok, point_id_w, P)
-    return jnp.zeros((P + 1,), bool).at[idx].set(True)[:P]
 
 
 def backend_pass(
@@ -124,10 +114,14 @@ def backend_pass(
         )
         out.kf_pose = poses
         out.pt_xyz = res.pt_xyz
-        out.pt_adjusted = _adjusted_mask(
-            m.point_id[idx], m.kp_ok[idx], valid, P=m.capacity_pt
-        )
+        # the solve's own compact selection (NOT the raw observation grid:
+        # overflow points beyond the window budget are excluded and must
+        # not be merged back as "adjusted")
+        out.pt_adjusted = res.pt_solved
         out.ba_rmse = float(res.rmse_px)
+        n_drop = int(res.n_dropped)
+        if n_drop:
+            log.info("BA window point budget overflow: %d points excluded", n_drop)
         m = m.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
 
     # ---- loop closure ------------------------------------------------------

@@ -209,7 +209,7 @@ def bench_kernels(cfg, frames):
     out["gn_reduce_640x480"] = roofline(gn_bytes, gn_flops, t_gn, gen)
 
     # ---- hamming_top2 at the map-association workload ----------------------
-    K1, K2 = 1024, cfg.keyframes.max_map_points
+    K1, K2 = cfg.orb.n_features, cfg.keyframes.max_map_points
     rng = np.random.default_rng(0)
     s1 = jax.device_put(jnp.asarray(rng.choice([-1, 1], (K1, 256)).astype(np.int8)))
     s2 = jax.device_put(jnp.asarray(rng.choice([-1, 1], (K2, 256)).astype(np.int8)))
@@ -261,8 +261,9 @@ def bench_ba(cfg, timing_iters=30):
 
     cam = cfg.camera
     W = 2 * cfg.ba.window
-    K = 1024  # n_features: per-keyframe observation budget
+    K = cfg.orb.n_features  # per-keyframe observation budget
     P = cfg.keyframes.max_map_points
+    img_w, img_h = 2.0 * cam.cx, 2.0 * cam.cy  # principal point at center
 
     rng = np.random.default_rng(0)
     pts = np.stack(
@@ -300,7 +301,7 @@ def bench_ba(cfg, timing_iters=30):
         obs_uv[i, :, 0] = u + rng.normal(0, 0.5, K)
         obs_uv[i, :, 1] = v + rng.normal(0, 0.5, K)
         obs_z[i] = z
-        obs_ok[i] = (z > 0.1) & (u >= 0) & (u < 640) & (v >= 0) & (v < 480)
+        obs_ok[i] = (z > 0.1) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
 
     valid = jnp.ones((W,), bool)
     free = jnp.arange(W) >= cfg.ba.window

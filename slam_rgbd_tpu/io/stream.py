@@ -32,17 +32,22 @@ import queue
 import struct
 import threading
 import time
+import zlib
 from typing import Callable, Iterator, Optional, Tuple
 
 import numpy as np
 
 log = logging.getLogger("slam_rgbd_tpu.stream")
 
-MAGIC = b"RGBDTPU1"
+MAGIC = b"RGBDTPU2"
+MAGIC_V1 = b"RGBDTPU1"  # legacy: no payload checksum
 # Per-frame header: frame_id, timestamp_us, frame_type, width, height,
-# depth_bytes, color_bytes  (reference FrameHeader fields,
-# `frameDefinitions.h:11-20`, with reserved dropped and us timestamps).
-_FRAME_HDR = struct.Struct("<QQIIIII")
+# depth_bytes, color_bytes, crc32  (reference FrameHeader fields,
+# `frameDefinitions.h:11-20`, with the reserved word used as a zlib CRC32
+# over depth+color payload — a byte flipped on disk raises instead of
+# silently feeding the tracker garbage).
+_FRAME_HDR = struct.Struct("<QQIIIIII")
+_FRAME_HDR_V1 = struct.Struct("<QQIIIII")
 FRAME_TYPE_SENSOR = 1  # FRAME_TYPE_SENSOR_DATA analogue
 FRAME_TYPE_EOF = 2  # FRAME_TYPE_END_OF_FILE analogue (`loggingModule.c:223-226`)
 
@@ -69,9 +74,10 @@ class StreamRecorder:
         depth = np.ascontiguousarray(depth, dtype=np.uint16)
         rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
         h, w = depth.shape
+        crc = zlib.crc32(rgb.tobytes(), zlib.crc32(depth.tobytes()))
         hdr = _FRAME_HDR.pack(
             self._frame_id, int(ts * 1e6), FRAME_TYPE_SENSOR, w, h,
-            depth.nbytes, rgb.nbytes,
+            depth.nbytes, rgb.nbytes, crc,
         )
         with self._lock:
             self._f.write(hdr)
@@ -84,7 +90,9 @@ class StreamRecorder:
         with self._lock:
             if self.closed:
                 return
-            self._f.write(_FRAME_HDR.pack(self._frame_id, 0, FRAME_TYPE_EOF, 0, 0, 0, 0))
+            self._f.write(
+                _FRAME_HDR.pack(self._frame_id, 0, FRAME_TYPE_EOF, 0, 0, 0, 0, 0)
+            )
             self._f.flush()
             self._f.close()
             self.closed = True
@@ -107,16 +115,20 @@ class StreamReader:
         self._f = open(path, "rb")
         self.max_frame_bytes = max_frame_bytes
         magic = self._f.read(len(MAGIC))
-        if magic != MAGIC:
+        if magic == MAGIC:
+            self._hdr = _FRAME_HDR
+        elif magic == MAGIC_V1:  # legacy recordings: no payload CRC
+            self._hdr = _FRAME_HDR_V1
+        else:
             raise ValueError(f"{path}: bad magic {magic!r}")
 
     def __iter__(self) -> Iterator[Frame]:
         while True:
-            hdr = self._f.read(_FRAME_HDR.size)
-            if len(hdr) < _FRAME_HDR.size:
+            hdr = self._f.read(self._hdr.size)
+            if len(hdr) < self._hdr.size:
                 log.warning("recording truncated (no EOF marker)")
                 return
-            fid, ts_us, ftype, w, h, dbytes, cbytes = _FRAME_HDR.unpack(hdr)
+            fid, ts_us, ftype, w, h, dbytes, cbytes, *rest = self._hdr.unpack(hdr)
             if ftype == FRAME_TYPE_EOF:
                 return
             if ftype != FRAME_TYPE_SENSOR or not (
@@ -124,8 +136,17 @@ class StreamReader:
                 and dbytes == w * h * 2 and cbytes == w * h * 3
             ):
                 raise ValueError(f"corrupt frame {fid}: type={ftype} {w}x{h} d={dbytes} c={cbytes}")
-            depth = np.frombuffer(self._f.read(dbytes), dtype=np.uint16).reshape(h, w)
-            rgb = np.frombuffer(self._f.read(cbytes), dtype=np.uint8).reshape(h, w, 3)
+            draw = self._f.read(dbytes)
+            craw = self._f.read(cbytes)
+            if rest:  # v2: payload integrity
+                crc = zlib.crc32(craw, zlib.crc32(draw))
+                if crc != rest[0]:
+                    raise ValueError(
+                        f"corrupt frame {fid}: payload CRC mismatch "
+                        f"(got {crc:#010x}, recorded {rest[0]:#010x})"
+                    )
+            depth = np.frombuffer(draw, dtype=np.uint16).reshape(h, w)
+            rgb = np.frombuffer(craw, dtype=np.uint8).reshape(h, w, 3)
             yield ts_us / 1e6, depth, rgb
 
     def close(self) -> None:

@@ -391,13 +391,19 @@ class TestWindowedLocalBA:
             jnp.asarray(ok), CAM, cfg)
         out = np.asarray(win.pt_xyz)
         assert np.all(np.isfinite(np.asarray(win.kf_pose)))
-        # only the first 64 VALIDLY-OBSERVED ids may move (compaction picks
-        # observed ids in table order); the overflow stays put
+        # the compact budget keeps the BEST-CONSTRAINED 64 observed ids
+        # (most window observations, ties to higher/newer ids); everything
+        # else stays put, and the overflow is REPORTED, not silent
         obs_ids = np.unique(pid[ok])
-        budget = set(obs_ids[:64].tolist())
+        counts = np.zeros(table.shape[0], np.int64)
+        np.add.at(counts, pid[ok].ravel(), 1)
+        order = sorted(obs_ids.tolist(), key=lambda i: (-counts[i], -i))
+        budget = set(order[:64])
+        solved = np.asarray(win.pt_solved)
+        assert set(np.nonzero(solved)[0].tolist()) == budget
         moved = ~np.isclose(out, table, atol=0).all(axis=1)
-        overflow = np.array([i for i in obs_ids if i not in budget])
-        assert not moved[overflow].any()
+        assert not moved[~solved].any()
+        assert int(win.n_dropped) == len(obs_ids) - 64
         assert np.all(np.isfinite(out))
 
 
