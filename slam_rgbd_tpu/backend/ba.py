@@ -116,34 +116,16 @@ def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam):
     return r, Jc, Jx, mask
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg", "psum_axis"))
-def local_ba(
-    poses_wc: jax.Array,  # (W, 4, 4) window keyframe poses (cam->world)
-    window_valid: jax.Array,  # (W,) bool
-    pt_xyz: jax.Array,  # (P, 3) all map points (world)
-    obs_uv: jax.Array,  # (W, K, 2) observed pixels
-    obs_z: jax.Array,  # (W, K) measured depth at observation (metres)
-    obs_pid: jax.Array,  # (W, K) int32 point ids (-1 none)
-    obs_ok: jax.Array,  # (W, K) bool
-    cam: CameraIntrinsics,
-    cfg: BAConfig,
-    free_mask: jax.Array | None = None,  # (W,) bool — poses to optimize
-    psum_axis: str | None = None,  # set under shard_map: observation axis
-) -> BAResult:
-    """Gauss-Newton local BA over a fixed camera set.
-
-    Cameras with `free_mask` False (plus a gauge anchor) contribute
-    residuals — constraining the points — but their poses do not move.
-    Passing older covisible keyframes as fixed observers is what keeps
-    repeated local BA from sliding shared structure: without them the
-    window + its points form a nearly-gauge-free subproblem. When
-    `free_mask` is None every valid camera except the first is free.
-
-    Points outside the camera set's observations are untouched. Runs
-    `cfg.iters` fixed iterations (static); Huber + hard gate on pixels.
+def _make_lm(
+    window_valid, obs_uv, obs_z, obs_pid, obs_ok, cam, cfg,
+    free_mask, psum_axis, P,
+):
+    """Build the LM machinery: returns (cost_fn, lm_iter) closures over a
+    fixed observation set. Shared by the single-dispatch `local_ba` and the
+    chunked windowed path (which issues iterations as separate device
+    programs so concurrent frontend work can interleave on a shared chip).
     """
     W, K = obs_pid.shape
-    P = pt_xyz.shape[0]
     D = 6 * W
 
     def _r(x):
@@ -280,11 +262,51 @@ def local_ba(
         lam_out = jnp.clip(jnp.where(accept, lam * 0.3, lam * 8.0), 1e-6, 1e3)
         return (poses_out, X_out, lam_out, cost_out)
 
+    return _cost, lm_iter
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "psum_axis"))
+def local_ba(
+    poses_wc: jax.Array,  # (W, 4, 4) window keyframe poses (cam->world)
+    window_valid: jax.Array,  # (W,) bool
+    pt_xyz: jax.Array,  # (P, 3) all map points (world)
+    obs_uv: jax.Array,  # (W, K, 2) observed pixels
+    obs_z: jax.Array,  # (W, K) measured depth at observation (metres)
+    obs_pid: jax.Array,  # (W, K) int32 point ids (-1 none)
+    obs_ok: jax.Array,  # (W, K) bool
+    cam: CameraIntrinsics,
+    cfg: BAConfig,
+    free_mask: jax.Array | None = None,  # (W,) bool — poses to optimize
+    psum_axis: str | None = None,  # set under shard_map: observation axis
+) -> BAResult:
+    """Gauss-Newton local BA over a fixed camera set.
+
+    Cameras with `free_mask` False (plus a gauge anchor) contribute
+    residuals — constraining the points — but their poses do not move.
+    Passing older covisible keyframes as fixed observers is what keeps
+    repeated local BA from sliding shared structure: without them the
+    window + its points form a nearly-gauge-free subproblem. When
+    `free_mask` is None every valid camera except the first is free.
+
+    Points outside the camera set's observations are untouched. Runs
+    `cfg.iters` fixed iterations (static); Huber + hard gate on pixels.
+    """
+    P = pt_xyz.shape[0]
+    _cost, lm_iter = _make_lm(
+        window_valid, obs_uv, obs_z, obs_pid, obs_ok, cam, cfg,
+        free_mask, psum_axis, P,
+    )
+    obs_ok = obs_ok & window_valid[:, None]
+
     init = (poses_wc, pt_xyz, jnp.float32(cfg.damping), _cost(poses_wc, pt_xyz))
     poses_out, X_out, _, _ = jax.lax.fori_loop(0, cfg.iters, lm_iter, init)
 
     # final stats
     r, _, _, mask = _reproj_residuals(poses_out, X_out, obs_uv, obs_z, obs_pid, obs_ok, cam)
+
+    def _r(x):
+        return x if psum_axis is None else jax.lax.psum(x, psum_axis)
+
     rn2 = jnp.sum(r * r, axis=-1)
     n = _r(jnp.sum(mask))
     rmse = jnp.sqrt(_r(jnp.sum(jnp.where(mask, rn2, 0.0))) / jnp.maximum(n, 1))
@@ -292,39 +314,12 @@ def local_ba(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def windowed_local_ba(
-    poses_wc: jax.Array,  # (W, 4, 4)
-    window_valid: jax.Array,  # (W,)
-    pt_xyz: jax.Array,  # (P, 3) FULL map point table
-    obs_uv: jax.Array,  # (W, K, 2)
-    obs_z: jax.Array,  # (W, K)
-    obs_pid: jax.Array,  # (W, K) ids into the FULL table
-    obs_ok: jax.Array,  # (W, K)
-    cam: CameraIntrinsics,
-    cfg: BAConfig,
-    free_mask: jax.Array | None = None,
-) -> BAResult:
-    """Local BA over the full map table, with the solve COMPACTED to the
-    window's observed points (cfg.max_points_per_window slots).
-
-    `local_ba`'s per-point state is sized by its point table: a window
-    observes at most W*K distinct points, yet handing it the full
-    P=16k table makes every iteration scatter into (P, W, 6, 3) coupling
-    blocks and invert (P, 3, 3) systems — ~8x more HBM traffic and
-    scatter lanes than the observed set needs, which measured ~600 ms on
-    a v5e for the product workload (the backend stall behind the round-2
-    session p99). This wrapper gathers the observed ids into a
-    C=max_points_per_window compact table, remaps the observation grid,
-    runs the identical solver, and scatters the refined points back —
-    same math, same result, on arrays sized to the actual problem.
-
-    If the window observes more than C distinct points, the LEAST-observed
-    points are excluded from this pass (ORB-SLAM-style per-window point
-    budgets keep the best-constrained structure); the overflow count is
-    reported in `BAResult.n_dropped` so accuracy pressure is visible. One
-    jitted program: compaction, solve, and scatter-back fuse into a single
-    device dispatch.
-    """
+def _win_compact(
+    window_valid, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam, cfg,
+):
+    """Compaction stage of the windowed solve: pick the per-window point
+    budget and remap the observation grid onto it. Returns
+    (sel, pid_c, ok_c, pt_c, n_observed)."""
     P = pt_xyz.shape[0]
     C = min(cfg.max_points_per_window, P)
     ok = obs_ok & window_valid[:, None] & (obs_pid >= 0)
@@ -353,11 +348,133 @@ def windowed_local_ba(
     pt_c = pt_pad[sel]  # (C, 3)
     pid_c = lookup[pid_safe]  # (W, K): compact id, -1 if masked/overflow
     ok_c = ok & (pid_c >= 0)
+    return sel, pid_c, ok_c, pt_c, n_observed
 
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters", "first"))
+def _win_chunk(
+    poses, X, lam, cost, window_valid, obs_uv, obs_z, pid_c, ok_c,
+    free_mask, cam, cfg, n_iters: int, first: bool,
+):
+    """`n_iters` LM iterations as ONE device program (state carried)."""
+    C = X.shape[0]
+    _cost, lm_iter = _make_lm(
+        window_valid, obs_uv, obs_z, pid_c, ok_c, cam, cfg,
+        free_mask, None, C,
+    )
+    if first:
+        cost = _cost(poses, X)
+    state = jax.lax.fori_loop(0, n_iters, lm_iter, (poses, X, lam, cost))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _win_finalize(
+    poses, X, window_valid, obs_uv, obs_z, pid_c, ok_c, sel, pt_xyz,
+    n_observed, cam, cfg,
+):
+    """Final stats + scatter the compact solution back to the full table."""
+    P = pt_xyz.shape[0]
+    C = X.shape[0]
+    ok = ok_c & window_valid[:, None]
+    r, _, _, mask = _reproj_residuals(poses, X, obs_uv, obs_z, pid_c, ok, cam)
+    rn2 = jnp.sum(r * r, axis=-1)
+    n = jnp.sum(mask)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(mask, rn2, 0.0)) / jnp.maximum(n, 1))
+
+    pt_pad = jnp.concatenate([pt_xyz, jnp.zeros((1, 3), pt_xyz.dtype)])
+    pt_new = pt_pad.at[sel].set(X)[:P]
+    pt_solved = jnp.zeros((P + 1,), bool).at[sel].set(True)[:P]
+    return BAResult(
+        kf_pose=poses, pt_xyz=pt_new, rmse_px=rmse, n_obs=n,
+        pt_solved=pt_solved, n_dropped=jnp.maximum(n_observed - C, 0),
+    )
+
+
+def windowed_local_ba(
+    poses_wc: jax.Array,  # (W, 4, 4)
+    window_valid: jax.Array,  # (W,)
+    pt_xyz: jax.Array,  # (P, 3) FULL map point table
+    obs_uv: jax.Array,  # (W, K, 2)
+    obs_z: jax.Array,  # (W, K)
+    obs_pid: jax.Array,  # (W, K) ids into the FULL table
+    obs_ok: jax.Array,  # (W, K)
+    cam: CameraIntrinsics,
+    cfg: BAConfig,
+    free_mask: jax.Array | None = None,
+    dispatch_iters: int | None = None,
+) -> BAResult:
+    """Local BA over the full map table, with the solve COMPACTED to the
+    window's observed points (cfg.max_points_per_window slots).
+
+    `local_ba`'s per-point state is sized by its point table: a window
+    observes at most W*K distinct points, yet handing it the full
+    P=16k table makes every iteration scatter into (P, W, 6, 3) coupling
+    blocks and invert (P, 3, 3) systems — ~8x more HBM traffic and
+    scatter lanes than the observed set needs, which measured ~600 ms on
+    a v5e for the product workload (the backend stall behind the round-2
+    session p99). This wrapper gathers the observed ids into a
+    C=max_points_per_window compact table, remaps the observation grid,
+    runs the identical solver, and scatters the refined points back —
+    same math, same result, on arrays sized to the actual problem.
+
+    If the window observes more than C distinct points, the LEAST-observed
+    points are excluded from this pass (ORB-SLAM-style per-window point
+    budgets keep the best-constrained structure); the overflow count is
+    reported in `BAResult.n_dropped` so accuracy pressure is visible.
+
+    `dispatch_iters=None` runs everything as ONE device program
+    (compaction, solve, scatter-back fuse into a single dispatch — best
+    throughput). `dispatch_iters=k` splits the solve into ceil(iters/k)
+    separate device dispatches with LM state carried between them —
+    IDENTICAL math, but on a chip shared with a latency-critical frontend
+    the frontend's small programs can interleave between chunks, bounding
+    its tail latency by one chunk's duration instead of the whole solve
+    (the backend worker uses this; `SLAM.cpp:32-63`'s thread-decoupling
+    intent, done TPU-style).
+    """
+    if dispatch_iters is None or dispatch_iters >= cfg.iters:
+        return _windowed_single(
+            poses_wc, window_valid, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok,
+            cam, cfg, free_mask,
+        )
+
+    sel, pid_c, ok_c, pt_c, n_observed = _win_compact(
+        window_valid, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam, cfg
+    )
+    poses, X = poses_wc, pt_c
+    lam = jnp.float32(cfg.damping)
+    cost = jnp.float32(0)
+    done = 0
+    while done < cfg.iters:
+        k = min(dispatch_iters, cfg.iters - done)
+        poses, X, lam, cost = _win_chunk(
+            poses, X, lam, cost, window_valid, obs_uv, obs_z, pid_c, ok_c,
+            free_mask, cam, cfg, k, done == 0,
+        )
+        done += k
+    return _win_finalize(
+        poses, X, window_valid, obs_uv, obs_z, pid_c, ok_c, sel, pt_xyz,
+        n_observed, cam, cfg,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _windowed_single(
+    poses_wc, window_valid, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok,
+    cam, cfg, free_mask=None,
+):
+    """Single-dispatch windowed solve (see `windowed_local_ba`)."""
+    sel, pid_c, ok_c, pt_c, n_observed = _win_compact(
+        window_valid, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam, cfg
+    )
     res = local_ba(
         poses_wc, window_valid, pt_c, obs_uv, obs_z, pid_c, ok_c,
         cam, cfg, free_mask=free_mask,
     )
+    P = pt_xyz.shape[0]
+    C = pt_c.shape[0]
+    pt_pad = jnp.concatenate([pt_xyz, jnp.zeros((1, 3), pt_xyz.dtype)])
     pt_new = pt_pad.at[sel].set(res.pt_xyz)[:P]
     pt_solved = jnp.zeros((P + 1,), bool).at[sel].set(True)[:P]
     return BAResult(

@@ -108,6 +108,7 @@ def backend_pass(
             m.point_id[idx],
             m.kp_ok[idx] & valid[:, None],
             cfg.camera, cfg.ba, free_mask=free,
+            dispatch_iters=cfg.ba.dispatch_iters or None,
         )
         poses = m.kf_pose.at[idx].set(
             jnp.where(valid[:, None, None], res.kf_pose, m.kf_pose[idx])

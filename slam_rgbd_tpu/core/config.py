@@ -158,6 +158,11 @@ class BAConfig:
     window: int = 8  # keyframes in the local window
     max_points_per_window: int = 2048
     iters: int = 5
+    # LM iterations per backend device dispatch (0 = whole solve as one
+    # program). On a single chip the frontend's per-frame programs queue
+    # behind backend dispatches; chunking bounds frontend tail latency by
+    # one chunk instead of the whole solve. Identical math either way.
+    dispatch_iters: int = 1
     huber_delta_px: float = 2.0
     # Observations with residual above this are hard-dropped each iteration
     # (outlier gate; Huber alone still lets aliased matches bias the solve).

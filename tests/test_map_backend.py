@@ -379,6 +379,27 @@ class TestWindowedLocalBA:
         mask[ids] = False
         np.testing.assert_array_equal(np.asarray(win.pt_xyz)[mask], table[mask])
 
+    def test_chunked_dispatch_matches_single(self, rng):
+        """dispatch_iters splits the solve across device programs with LM
+        state carried — results must match the one-dispatch path."""
+        poses, table, uv, z, pid, ok, ids = self._problem(rng)
+        W = poses.shape[0]
+        cfg = BAConfig(iters=5, max_points_per_window=256)
+        args = (jnp.asarray(poses), jnp.ones(W, bool), jnp.asarray(table),
+                jnp.asarray(uv), jnp.asarray(z), jnp.asarray(pid),
+                jnp.asarray(ok), CAM, cfg)
+        one = ba.windowed_local_ba(*args)
+        for k in (1, 2, 3):
+            chk = ba.windowed_local_ba(*args, dispatch_iters=k)
+            np.testing.assert_allclose(
+                np.asarray(chk.kf_pose), np.asarray(one.kf_pose),
+                rtol=0, atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(chk.pt_xyz), np.asarray(one.pt_xyz),
+                rtol=0, atol=2e-4)
+            np.testing.assert_allclose(
+                float(chk.rmse_px), float(one.rmse_px), rtol=1e-3)
+
     def test_overflow_masks_excess_points(self, rng):
         """More observed points than the compact budget: the solve drops the
         overflow's observations instead of corrupting state."""
