@@ -27,31 +27,60 @@ _TILE = 128
 _BIG = 1e9
 
 
-def _hamming_top2_kernel(s1_ref, s2t_ref, v1_ref, v2_ref, best_ref, second_ref, idx_ref):
-    """One query tile: distances + running top-2 reduction.
+def _row_tile(k1: int, cap: int = 512) -> int:
+    """Largest multiple of 128 that divides k1 and is <= cap.
 
-    s1_ref: (TILE, 256) bf16 signs; s2t_ref: (256, K2) bf16 transposed
-    signs; v1/v2: (TILE, 1) / (1, K2) f32 validity; outputs (TILE, 1).
+    MXU efficiency scales with the M dimension of the (M, 256) x (256, N)
+    sign-matmul: 128-row steps leave the systolic array mostly idle and
+    pay per-step pipeline overhead, so query tiles are as tall as the
+    VMEM working set allows."""
+    t = cap
+    while t > _TILE and k1 % t:
+        t -= _TILE
+    return t
+
+
+def _hamming_top2_kernel(s1_ref, s2t_ref, v1_ref, v2_ref,
+                         best_ref, second_ref, idx_ref):
+    """Grid (K1/R, K2/K2T); step j folds one column tile into the running
+    top-2 for query-row tile i.
+
+    s1_ref: (R, 256) bf16 signs; s2t_ref: (256, K2T) bf16 transposed
+    signs; v1/v2: (R, 1) / (1, K2T) f32 validity; outputs (R, 1),
+    revisited across j.
     """
+    j = pl.program_id(1)
     n_bits = s1_ref.shape[1]
     s = jnp.dot(s1_ref[:], s2t_ref[:], preferred_element_type=jnp.float32)
-    d = 0.5 * (n_bits - s)  # (TILE, K2) Hamming distances
-    invalid = (v1_ref[:] < 0.5) | (v2_ref[:] < 0.5)  # broadcast (TILE, K2)
+    d = 0.5 * (n_bits - s)  # (R, K2T) Hamming distances
+    invalid = (v1_ref[:] < 0.5) | (v2_ref[:] < 0.5)  # broadcast (R, K2T)
     d = jnp.where(invalid, _BIG, d)
 
-    k2 = d.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
-    best = jnp.min(d, axis=1, keepdims=True)  # (TILE, 1)
-    # argmin: smallest column index achieving the min
-    is_best = d <= best
-    idx = jnp.min(jnp.where(is_best, col, k2), axis=1, keepdims=True)
-    # second-best: min over everything except that single column
-    d_wo = jnp.where(col == idx, _BIG, d)
-    second = jnp.min(d_wo, axis=1, keepdims=True)
+    k2t = d.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1) + j * k2t
+    t1 = jnp.min(d, axis=1, keepdims=True)  # tile best
+    # arg: smallest column index achieving the tile min
+    n2 = pl.num_programs(1) * k2t
+    ti = jnp.min(jnp.where(d <= t1, col, n2), axis=1, keepdims=True)
+    # tile second-best: min over everything except that single column
+    t2 = jnp.min(jnp.where(col == ti, _BIG, d), axis=1, keepdims=True)
 
-    best_ref[:] = best
-    second_ref[:] = second
-    idx_ref[:] = idx
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = t1
+        second_ref[:] = t2
+        idx_ref[:] = ti
+
+    @pl.when(j > 0)
+    def _():
+        b1, b2, bi = best_ref[:], second_ref[:], idx_ref[:]
+        # merge running top-2 with tile top-2; strict '<' keeps the
+        # EARLIER tile's index on ties (argmin first-occurrence semantics)
+        better = t1 < b1
+        idx_ref[:] = jnp.where(better, ti, bi)
+        best_ref[:] = jnp.where(better, t1, b1)
+        second_ref[:] = jnp.where(better, jnp.minimum(b1, t2),
+                                  jnp.minimum(b2, t1))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -72,32 +101,31 @@ def hamming_top2(
     k2 = signs2.shape[0]
     assert k1 % _TILE == 0, f"K1={k1} must be a multiple of {_TILE}"
     assert k2 % _TILE == 0, f"K2={k2} must be a multiple of {_TILE}"
+    r = _row_tile(k1)
+    k2t = _K2_TILE if k2 % _K2_TILE == 0 else _row_tile(k2, _K2_TILE)
 
     s1 = signs1.astype(jnp.bfloat16)
     s2t = signs2.astype(jnp.bfloat16).T  # (256, K2)
     v1 = valid1.astype(jnp.float32)[:, None]  # (K1, 1)
     v2 = valid2.astype(jnp.float32)[None, :]  # (1, K2)
 
-    grid = (k1 // _TILE,)
+    grid = (k1 // r, k2 // k2t)
     out_shape = (
         jax.ShapeDtypeStruct((k1, 1), jnp.float32),
         jax.ShapeDtypeStruct((k1, 1), jnp.float32),
         jax.ShapeDtypeStruct((k1, 1), jnp.int32),
     )
+    row_spec = pl.BlockSpec((r, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     best, second, idx = pl.pallas_call(
         _hamming_top2_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, n_bits), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bits, k2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n_bits), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bits, k2t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(row_spec, row_spec, row_spec),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * k1 * k2 * n_bits,
@@ -156,11 +184,11 @@ def _make_gated_kernel(n_bits, px_radius, z_rel_tol, merge_radius, n2):
 
     def kernel(s1_ref, q_ref, s2t_ref, p_ref,
                d1_ref, i1_ref, d2_ref, i2_ref):
-        """Grid (K1/TILE, K2/_K2_TILE); j revisits the i-th output rows.
+        """Grid (K1/R, K2/_K2_TILE); j revisits the i-th output rows.
 
-        q_ref: (TILE, 8) f32 [u, v, z, valid, xw, yw, zw, |pw|^2]
+        q_ref: (R, 8) f32 [u, v, z, valid, xw, yw, zw, |pw|^2]
         p_ref: (8, K2T) f32 [pu, pv, z, ok, x, y, z, |p|^2]
-        Outputs (TILE, 1): tier-1 (pixel+depth gate) best distance/index,
+        Outputs (R, 1): tier-1 (pixel+depth gate) best distance/index,
         tier-2 (3D merge gate) best distance/index.
         """
         j = pl.program_id(1)
@@ -245,12 +273,13 @@ def gated_match(
     assert k1 % _TILE == 0, f"K1={k1} must be a multiple of {_TILE}"
     k2t = min(_K2_TILE, k2)
     assert k2 % k2t == 0, f"K2={k2} must be a multiple of {k2t}"
+    r = _row_tile(k1)
 
     s1 = signs1.astype(jnp.bfloat16)
     s2t = signs2.astype(jnp.bfloat16).T  # (256, K2)
     pm = p_meta.T  # (8, K2)
 
-    grid = (k1 // _TILE, k2 // k2t)
+    grid = (k1 // r, k2 // k2t)
     kernel = _make_gated_kernel(n_bits, px_radius, z_rel_tol, merge_radius, k2)
     out_shape = (
         jax.ShapeDtypeStruct((k1, 1), jnp.float32),
@@ -258,13 +287,13 @@ def gated_match(
         jax.ShapeDtypeStruct((k1, 1), jnp.float32),
         jax.ShapeDtypeStruct((k1, 1), jnp.int32),
     )
-    row_spec = pl.BlockSpec((_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((r, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     d1, i1, d2, i2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, n_bits), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n_bits), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_bits, k2t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, k2t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
