@@ -63,19 +63,30 @@ class PGResult(NamedTuple):
     n_edges: jax.Array  # () int32
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "psum_axis"))
 def optimize_pose_graph(
     poses: jax.Array,  # (M, 4, 4) camera-to-world keyframe poses
     node_valid: jax.Array,  # (M,) bool
     edges: EdgeList,
     iters: int = 10,
     damping: float = 1e-6,
+    psum_axis: str | None = None,  # set under shard_map: edge axis
 ) -> PGResult:
-    """Gauss-Newton with node 0 (first valid) fixed as gauge."""
+    """Gauss-Newton with node 0 (first valid) fixed as gauge.
+
+    With `psum_axis` set (inside `shard_map`), each device assembles the
+    (M, M, 6, 6) block system from ITS edge shard and a psum over the
+    edge axis completes it — the distributed global-optimization assembly
+    (poses replicated, edges sharded, small solve replicated); see
+    `parallel.dist.sharded_pose_graph`.
+    """
     M = poses.shape[0]
     D = 6 * M
     first = jnp.argmax(node_valid)
     free = node_valid & (jnp.arange(M) != first)
+
+    def _r(x):
+        return x if psum_axis is None else jax.lax.psum(x, psum_axis)
 
     ew = edges.weight * edges.valid.astype(jnp.float32)
 
@@ -103,7 +114,8 @@ def optimize_pose_graph(
         Hb = Hb.at[edges.j, edges.j].add(Hjj)
         Hb = Hb.at[edges.i, edges.j].add(Hij)
         Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
-        g = jnp.zeros((M, 6)).at[edges.i].add(gi).at[edges.j].add(gj)
+        Hb = _r(Hb)
+        g = _r(jnp.zeros((M, 6)).at[edges.i].add(gi).at[edges.j].add(gj))
 
         H = jnp.swapaxes(Hb, 1, 2).reshape(D, D)
         gv = g.reshape(D)
@@ -128,8 +140,9 @@ def optimize_pose_graph(
         edges.T_meas, T_out[edges.i], T_out[edges.j]
     )
     r = jax.vmap(se3.log)(Ei)
-    n = jnp.sum(edges.valid)
+    n = _r(jnp.sum(edges.valid))
     rmse = jnp.sqrt(
-        jnp.sum(jnp.where(edges.valid[:, None], r * r, 0.0)) / jnp.maximum(n, 1)
+        _r(jnp.sum(jnp.where(edges.valid[:, None], r * r, 0.0)))
+        / jnp.maximum(n, 1)
     )
     return PGResult(poses=T_out, rmse=rmse, n_edges=n)

@@ -58,22 +58,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e/v5p VMEM is 128 MiB; the default
+# 16 MiB scoped limit forced 72-row tiles (7 dispatch-pipelined tiles and
+# 7x the stencil's per-tile fixed costs at 640x480)
+
+
 def plan_tiles(height: int, width: int, radius: int):
     """(tile_rows, n_tiles, padded_width) keeping the working set in VMEM.
 
-    Tile rows are bounded both by a source-block byte budget and by a
-    stencil-terms x pixels budget: Mosaic's compiler falls over (helper
-    exit 1) once the unrolled stencil's live vector state exceeds roughly
-    4M term-pixels per tile (measured: 100 terms x 120x384 crashes,
-    100 x 88x384 and 36 x 96x640 compile fine).
+    Tile rows are bounded by a source-block byte budget (VMEM, with the
+    raised `_VMEM_LIMIT`) and by a stencil-terms x pixels budget: Mosaic's
+    compiler falls over (helper exit 1) once the unrolled stencil's live
+    vector state exceeds roughly 4M term-pixels per tile (measured: 100
+    terms x 120x384 crashes, 100 x 88x384 and 36 x 96x640 compile fine).
     """
     w_pad = _round_up(width, _LANE)
     n_terms = (2 * radius + 2) ** 2
     th = min(
         _round_up(height, 8),
-        (1_500_000 // (8 * w_pad * 4)) & ~7,
+        (10_000_000 // (8 * w_pad * 4)) & ~7,
         (3_200_000 // (w_pad * n_terms)) & ~7,
-        96,
+        120,
     )
     th = max(8, th)
     n_tiles = -(-height // th)
@@ -261,22 +266,37 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
         wi = jnp.where(mask, wi * rgb_w, 0.0)
         b = (ga, gb, gc, ji3, ji4, ji5, ri)
 
-        # Scatter is unsupported in Mosaic; place the 57 scalars with
-        # one-hot selects on the (8, 128) block (constant-folded masks).
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+        # The 7x7 normal-equation blocks are tall-skinny reduction matmuls:
+        # stack the 7 residual/Jacobian planes (+1 pad row) as (8, N) and
+        # contract over pixels on the MXU — M = (wA) A^T in one pass per
+        # block instead of 57 full-tile VPU reductions (which dominated
+        # kernel liveness and time in the round-2 profile).
+        n_px = shape[0] * shape[1]
+        zero_plane = jnp.zeros(shape, jnp.float32)
+
+        def stack8(planes):
+            return jnp.concatenate(
+                [p.reshape(1, n_px) for p in planes + (zero_plane,)], axis=0
+            )
+
+        a_mat = stack8(a)  # (8, N)
+        b_mat = stack8(b)
+        w_flat = w.reshape(1, n_px)
+        wi_flat = wi.reshape(1, n_px)
+        dn = (((1,), (1,)), ((), ()))  # contract pixel axis of both
+        m_geo = jax.lax.dot_general(
+            a_mat * w_flat, a_mat, dn, preferred_element_type=jnp.float32
+        )  # (8, 8)
+        m_pho = jax.lax.dot_general(
+            b_mat * wi_flat, b_mat, dn, preferred_element_type=jnp.float32
+        )
+
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
-
-        def place(block, rr, cc, val):
-            return jnp.where((row_ids == rr) & (col_ids == cc), val, block)
-
-        contrib = jnp.zeros((8, _LANE), jnp.float32)
-        for jj in range(7):
-            wa = w * a[jj]
-            wb = wi * b[jj]
-            for kk in range(jj, 7):
-                contrib = place(contrib, jj, kk, jnp.sum(wa * a[kk]))
-                contrib = place(contrib, jj, 8 + kk, jnp.sum(wb * b[kk]))
-        contrib = place(contrib, 0, 16, jnp.sum(mask.astype(jnp.float32)))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+        pad8 = jnp.zeros((8, _LANE - 16), jnp.float32)
+        contrib = jnp.concatenate([m_geo, m_pho, pad8], axis=1)
+        n_inl = jnp.sum(mask.astype(jnp.float32))
+        contrib = jnp.where((row_ids == 0) & (col_ids == 16), n_inl, contrib)
 
         @pl.when(i == 0)
         def _():
@@ -333,6 +353,7 @@ def gn_reduce(
             bytes_accessed=(src_planes.size + tgt_planes.size) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(scalars, src_planes, tgt_planes)
 

@@ -243,6 +243,50 @@ def sharded_map_association(
     return run(signs, ok, kp_uv, kp_z, pts_w, pt_xyz, pt_signs, pt_valid)
 
 
+# ------------------------------------------------------------- pose graph
+def sharded_pose_graph(
+    mesh: Mesh,
+    poses: jax.Array,  # (M, 4, 4) replicated
+    node_valid: jax.Array,  # (M,) replicated
+    edges,  # EdgeList — every leaf sharded over `model` on axis 0
+    iters: int = 10,
+    damping: float = 1e-6,
+    model_axis: str = "model",
+):
+    """Global pose-graph Gauss-Newton with EDGES sharded across the mesh.
+
+    The distributed global-optimization layer (SURVEY.md §5's
+    "ring-attention-style neighbor exchange over the pose graph"): poses
+    are replicated (6M floats — tiny), the edge set — which grows with
+    trajectory length and loop density — is block-sharded, each device
+    assembles the (M, M, 6, 6) normal-equation blocks from its shard, and
+    one psum over ICI completes the system; the dense (6M, 6M) solve is
+    replicated (cheaper than sharding a small SPD solve). Numerically
+    identical to `backend.pose_graph.optimize_pose_graph` up to reduction
+    order (equality-tested on a CPU mesh).
+    """
+    from slam_rgbd_tpu.backend.pose_graph import PGResult, optimize_pose_graph
+
+    axis = model_axis
+    edge_spec = jax.tree_util.tree_map(lambda _: P(axis), edges)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), edge_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def run(T, valid, e):
+        res = optimize_pose_graph(
+            T, valid, e, iters=iters, damping=damping, psum_axis=axis
+        )
+        return res.poses, res.rmse, res.n_edges
+
+    T_out, rmse, n = run(poses, node_valid, edges)
+    return PGResult(poses=T_out, rmse=rmse, n_edges=n)
+
+
 # ----------------------------------------------------------------- matching
 def sharded_hamming_match(
     mesh: Mesh,

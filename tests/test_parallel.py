@@ -202,3 +202,47 @@ class TestShardedMatch:
         np.testing.assert_array_equal(np.asarray(idx2), np.asarray(ref.idx2))
         np.testing.assert_allclose(np.asarray(best), np.asarray(ref.distance))
         np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref.valid))
+
+
+class TestShardedPoseGraph:
+    def _graph(self, rng, M=12, E=32):
+        """Drifted odometry chain + a loop edge, padded to E slots."""
+        from slam_rgbd_tpu.backend import pose_graph as pg
+
+        gt = [np.eye(4, dtype=np.float32)]
+        for k in range(M - 1):
+            xi = np.array([0.1, 0.02 * np.sin(k), 0, 0, 0.09, 0], np.float32)
+            gt.append(gt[-1] @ np.asarray(se3.exp(jnp.asarray(xi))))
+        gt = np.stack(gt)
+
+        edges = pg.EdgeList.empty(E)
+        n_e = jnp.int32(0)
+        drift = np.asarray(se3.exp(jnp.asarray(
+            np.array([0.004, 0.001, 0, 0, 0.003, 0], np.float32))))
+        poses = [gt[0]]
+        for k in range(M - 1):
+            T_rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+            edges, n_e = edges.add(n_e, k, k + 1, jnp.asarray(T_rel))
+            poses.append(poses[-1] @ T_rel @ drift)  # integrate WITH drift
+        # loop edge: measured relative pose from ground truth
+        T_loop = np.linalg.inv(gt[0]) @ gt[M - 1]
+        edges, n_e = edges.add(n_e, 0, M - 1, jnp.asarray(T_loop), weight=5.0)
+        return jnp.asarray(np.stack(poses)), gt, edges
+
+    def test_matches_single_device(self, rng):
+        from slam_rgbd_tpu.backend import pose_graph as pg
+
+        poses, gt, edges = self._graph(rng)
+        M = poses.shape[0]
+        valid = jnp.ones(M, bool)
+        ref = pg.optimize_pose_graph(poses, valid, edges, iters=8)
+        mesh = pmesh.make_mesh(MeshConfig(data=1, model=8))
+        got = dist.sharded_pose_graph(mesh, poses, valid, edges, iters=8)
+        np.testing.assert_allclose(
+            np.asarray(got.poses), np.asarray(ref.poses), rtol=0, atol=1e-5)
+        assert int(got.n_edges) == int(ref.n_edges)
+        # and the optimization actually pulled drift toward ground truth
+        err_before = np.linalg.norm(np.asarray(poses)[:, :3, 3] - gt[:, :3, 3], axis=1).max()
+        err_after = np.linalg.norm(
+            np.asarray(got.poses)[:, :3, 3] - gt[:, :3, 3], axis=1).max()
+        assert err_after < 0.5 * err_before
