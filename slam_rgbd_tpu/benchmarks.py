@@ -205,8 +205,14 @@ def bench_kernels(cfg, frames):
     t_gn = _time_device(run_gn)
     gn_bytes = (srcp.size + tgtp.size) * 4
     n_terms = (2 * radius + 2) ** 2
-    gn_flops = n_tiles * th * w_pad * (n_terms * 24 + 260)
-    out["gn_reduce_640x480"] = roofline(gn_bytes, gn_flops, t_gn, gen)
+    n_px = n_tiles * th * w_pad
+    # stencil + GN math is elementwise VPU work; the only MXU work is the
+    # two (8, N) x (N, 8) normal-equation reduction matmuls per tile
+    gn_vpu_flops = n_px * (n_terms * 24 + 260)
+    gn_mxu_flops = 2 * 2 * 8 * 8 * n_px
+    out["gn_reduce_640x480"] = roofline(
+        gn_bytes, gn_mxu_flops, t_gn, gen, vpu_flops=gn_vpu_flops
+    )
 
     # ---- hamming_top2 at the map-association workload ----------------------
     K1, K2 = cfg.orb.n_features, cfg.keyframes.max_map_points

@@ -145,6 +145,19 @@ MXU_PEAK_FLOPS = {
     "v6e": 9.18e14,
 }
 
+# Per-chip peak VPU throughput (f32 FLOP/s): 8x128 vector lanes x 4 ALUs
+# at the core clock implied by the MXU peak (peak_bf16 / (n_mxu*128*128*2)
+# cycles). The ICP stencil kernel's windowed-bilinear accumulation is
+# elementwise VPU work — for it THIS is the honest compute ceiling, not
+# the MXU number (a (2R+2)^2-term displacement stencil cannot ride the
+# systolic array).
+VPU_PEAK_FLOPS = {
+    "v4": 6.9e12,
+    "v5e": 6.2e12,
+    "v5p": 7.2e12,
+    "v6e": 14.3e12,
+}
+
 
 def tpu_generation(default: str = "v5e") -> str:
     """Best-effort TPU generation from the attached device's device_kind."""
@@ -163,27 +176,41 @@ def tpu_generation(default: str = "v5e") -> str:
 
 
 def roofline(bytes_accessed: int, flops: int, measured_s: float,
-             generation: str = "v5e") -> dict:
-    """Two-ceiling roofline for a kernel: HBM bandwidth and MXU compute.
+             generation: str = "v5e", vpu_flops: int = 0) -> dict:
+    """Multi-ceiling roofline: HBM bandwidth, MXU matmul FLOPs, and
+    (optionally) VPU elementwise FLOPs.
 
-    `fraction` is achieved time vs. the BINDING ceiling (max of the two
-    lower-bound times) — the honest speed-of-light number BASELINE.md:33
-    asks for.
+    `flops` counts MXU (matmul) work; `vpu_flops` counts elementwise
+    vector work for kernels whose inner loop is a stencil/map rather than
+    a contraction. `fraction` is achieved time vs. the BINDING ceiling
+    (max of the lower-bound times) — the honest speed-of-light number
+    BASELINE.md:33 asks for.
     """
     bw_peak = HBM_PEAK_BYTES_PER_S[generation]
     fl_peak = MXU_PEAK_FLOPS[generation]
     t_hbm = bytes_accessed / bw_peak
     t_mxu = flops / fl_peak
-    sol_s = max(t_hbm, t_mxu)
-    return {
+    t_vpu = vpu_flops / VPU_PEAK_FLOPS[generation]
+    sol_s = max(t_hbm, t_mxu, t_vpu)
+    bound = "hbm"
+    if t_mxu == sol_s:
+        bound = "mxu"
+    if t_vpu == sol_s and t_vpu > t_hbm and t_vpu > t_mxu:
+        bound = "vpu"
+    out = {
         "measured_us": round(measured_s * 1e6, 1),
         "sol_us": round(sol_s * 1e6, 1),
         "fraction": round(sol_s / max(measured_s, 1e-12), 4),
-        "bound": "hbm" if t_hbm >= t_mxu else "mxu",
+        "bound": bound,
         "achieved_gbps": round(bytes_accessed / max(measured_s, 1e-12) / 1e9, 1),
         "achieved_tflops": round(flops / max(measured_s, 1e-12) / 1e12, 2),
         "generation": generation,
     }
+    if vpu_flops:
+        out["achieved_vpu_tflops"] = round(
+            vpu_flops / max(measured_s, 1e-12) / 1e12, 2
+        )
+    return out
 
 
 def speed_of_light(bytes_accessed: int, measured_s: float,

@@ -80,6 +80,36 @@ def _frame_summary(T_world, last_kf_T, valid_fraction, rmse, kcfg):
     ])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "icp_cfg", "kcfg"),
+    donate_argnums=(6, 7),
+)
+def _steady_step(
+    prev_pyr, depth_raw, rgb, T_world, motion, last_kf_T,
+    buf_T, buf_kfT, traj_i, cam, icp_cfg, kcfg,
+):
+    """The ENTIRE steady-state frame as one device program: pyramid build,
+    coarse-to-fine track, control summary, trajectory-ring scatter.
+
+    One dispatch per frame instead of four — host dispatch overhead is
+    ~0.2-0.4 ms each on a remote-tunneled chip, and fewer program
+    boundaries also give XLA the pyramid->track fusion. Trajectory buffers
+    are donated so the scatter is in-place."""
+    pyr = camera.build_frame_pyramid(
+        depth_raw, cam, levels=icp_cfg.levels, rgb=rgb
+    )
+    T_world, motion, res = track_frame(
+        prev_pyr, pyr, T_world, motion, cam, icp_cfg
+    )
+    summary = _frame_summary(
+        T_world, last_kf_T, res.valid_fraction, res.rmse, kcfg
+    )
+    buf_T = buf_T.at[traj_i].set(T_world)
+    buf_kfT = buf_kfT.at[traj_i].set(last_kf_T)
+    return pyr, T_world, motion, summary, buf_T, buf_kfT
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _traj_append(buf_T, buf_kfT, i, T, kfT):
     """Scatter one frame's (pose, reference-KF pose) into the device-side
@@ -245,12 +275,12 @@ class SLAMSession:
         # resolve every in-flight frame whose summary has landed; force
         # (block on) the oldest only at the lag bound
         self._drain_pending(block=len(self._pending) >= self.cfg.runtime.max_decision_lag)
-        pyr = self._pyramid(depth_raw, rgb)
 
         if self.prev_pyr is None:
             # first frame: bootstrap a keyframe at the origin — unless we
             # restored from a checkpoint, where only the tracking reference
             # needs re-anchoring.
+            pyr = self._pyramid(depth_raw, rgb)
             st = FrameStats(ts, 0.0, 1.0, 0.0, True, True)
             if self._n_kf_host == 0:
                 st.is_keyframe = True
@@ -262,14 +292,21 @@ class SLAMSession:
             self._finish(st, t0)
             return st
 
-        self.T_world, self.motion, res = track_frame(
-            self.prev_pyr, pyr, self.T_world, self.motion,
-            self.cfg.camera, self.cfg.icp,
+        # steady state: ONE fused device dispatch (pyramid + track +
+        # summary + trajectory scatter) — see `_steady_step`
+        traj_i = len(self._traj_ts)
+        if traj_i >= self._traj_cap:
+            self._grow_traj_ring()
+        kfT = self.last_kf_T if self.last_kf_idx >= 0 else jnp.eye(4)
+        (pyr, self.T_world, self.motion, summary,
+         self._traj_T_dev, self._traj_kfT_dev) = _steady_step(
+            self.prev_pyr, jnp.asarray(depth_raw), jnp.asarray(rgb),
+            self.T_world, self.motion, kfT,
+            self._traj_T_dev, self._traj_kfT_dev, np.int32(traj_i),
+            self.cfg.camera, self.cfg.icp, self.cfg.keyframes,
         )
-        summary = _frame_summary(
-            self.T_world, self.last_kf_T, res.valid_fraction, res.rmse,
-            self.cfg.keyframes,
-        )
+        self._traj_ts.append(ts)
+        self._frame_kf_idx.append(self.last_kf_idx)
         try:
             summary.copy_to_host_async()
         except Exception:  # noqa: BLE001 — backends without async copy:
@@ -278,11 +315,10 @@ class SLAMSession:
         st = FrameStats(ts, 0.0, -1.0, -1.0, False, True)
         self._pending.append(_PendingFrame(
             summary=summary, st=st, ts=ts, depth_raw=depth_raw, rgb=rgb,
-            traj_i=len(self._traj_ts), frame_i=self._frame_i, T=self.T_world,
+            traj_i=traj_i, frame_i=self._frame_i, T=self.T_world,
         ))
 
         self.prev_pyr = pyr
-        self._log_pose(ts)
         self._frame_i += 1
         self._finish(st, t0)
         return st
@@ -368,13 +404,17 @@ class SLAMSession:
                 lost=self.state.lost,
             )
 
+    def _grow_traj_ring(self):
+        """Double the device trajectory ring (rare, re-jits once)."""
+        pad = jnp.zeros((self._traj_cap, 4, 4), jnp.float32)
+        self._traj_T_dev = jnp.concatenate([self._traj_T_dev, pad])
+        self._traj_kfT_dev = jnp.concatenate([self._traj_kfT_dev, pad])
+        self._traj_cap *= 2
+
     def _log_pose(self, ts: float):
         i = len(self._traj_ts)
-        if i >= self._traj_cap:  # grow the device ring (rare, re-jits once)
-            pad = jnp.zeros((self._traj_cap, 4, 4), jnp.float32)
-            self._traj_T_dev = jnp.concatenate([self._traj_T_dev, pad])
-            self._traj_kfT_dev = jnp.concatenate([self._traj_kfT_dev, pad])
-            self._traj_cap *= 2
+        if i >= self._traj_cap:
+            self._grow_traj_ring()
         self._traj_ts.append(ts)
         self._frame_kf_idx.append(self.last_kf_idx)
         kfT = self.last_kf_T if self.last_kf_idx >= 0 else jnp.eye(4)
