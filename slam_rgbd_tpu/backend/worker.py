@@ -94,6 +94,7 @@ def backend_pass(
 
     # ---- local BA over the sliding window (free recent half, fixed
     # older observers — see session docstring) ------------------------------
+    res = None
     if n_kf >= 3:
         w = cfg.ba.window
         idx, valid = smap.local_window(m, 2 * w)
@@ -119,19 +120,26 @@ def backend_pass(
         # overflow points beyond the window budget are excluded and must
         # not be merged back as "adjusted")
         out.pt_adjusted = res.pt_solved
-        out.ba_rmse = float(res.rmse_px)
-        n_drop = int(res.n_dropped)
-        if n_drop:
-            log.info("BA window point budget overflow: %d points excluded", n_drop)
         m = m.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
 
     # ---- loop closure ------------------------------------------------------
+    # Candidate detection is ENQUEUED before the BA scalars are fetched:
+    # the worker then blocks on the device queue once for BA stats and
+    # candidate gating together, instead of two round-trips serialized
+    # behind the frontend's in-flight frames.
+    cand = None
     if n_kf > cfg.ba.loop_min_interval:
         cand = loop_mod.find_loop_candidate(
             m, jnp.int32(kf_idx),
             min_interval=cfg.ba.loop_min_interval,
             min_score=cfg.ba.loop_min_score,
         )
+    if res is not None:
+        out.ba_rmse = float(res.rmse_px)
+        n_drop = int(res.n_dropped)
+        if n_drop:
+            log.info("BA window point budget overflow: %d points excluded", n_drop)
+    if cand is not None:
         if bool(cand.ok):
             ver = loop_mod.verify_loop(m, jnp.int32(kf_idx), cand.kf_idx)
             if bool(ver.ok):

@@ -97,7 +97,11 @@ class ICPConfig:
     # (TPU random gathers are ~100x slower than streaming); displacement
     # beyond the radius is treated as association failure. Coarse levels
     # get a wide radius (images are small), fine levels run after
-    # coarse alignment so residual flow is a few pixels.
+    # coarse alignment so residual flow is a few pixels. Tightening
+    # radii/iters below this schedule breaks on the hard section of the
+    # 240-frame bench orbit (tracking loss at t~7 s) even though an
+    # 80-frame sweep looks fine — the wide windows are load-bearing for
+    # fast motion, not tunable headroom (tools/sweep_icp.py).
     window_px: tuple = (8, 4, 2)
     # Huber robust kernel width (metres) on the point-to-plane residual.
     huber_delta: float = 0.05

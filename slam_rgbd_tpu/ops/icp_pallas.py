@@ -207,7 +207,6 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
         # the Mosaic compiler at image widths beyond one lane tile.
         acc = jnp.zeros((10,) + shape, jnp.float32)
         wsum = jnp.zeros(shape, jnp.float32)
-        vsum = jnp.zeros(shape, jnp.float32)
         win = scratch[slot]  # (10, span, w_pad)
         w_pad = shape[1]
         for du in range(-radius, radius + 2):
@@ -226,9 +225,10 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
                 rows = win_du[:, rv + dv : rv + dv + th, :]
                 acc = acc + wgt[None] * rows
                 wsum = wsum + wgt
-                vsum = vsum + wgt * rows[6]
 
-        samp_ok = (wsum > 0.999) & (vsum > 0.999)
+        # acc[6] IS the weighted validity sum (channel 6 = valid plane);
+        # a separate vsum accumulator would be a redundant per-term FMA.
+        samp_ok = (wsum > 0.999) & (acc[6] > 0.999)
         qx, qy, qz = acc[0], acc[1], acc[2]
         nxr, nyr, nzr = acc[3], acc[4], acc[5]
         n_norm = jnp.maximum(jnp.sqrt(nxr * nxr + nyr * nyr + nzr * nzr), 1e-9)

@@ -233,6 +233,90 @@ class SLAMSession:
         self._traj_kfT_dev = jnp.zeros((self._traj_cap, 4, 4), jnp.float32)
         self.stats: list[FrameStats] = []
 
+    # ---------------------------------------------------------------- warmup
+    def warmup(self):
+        """Compile EVERY device program this session can dispatch, up front.
+
+        Keyframe-path and backend programs otherwise compile lazily on
+        first use — and the pose-graph solve only compiles when the first
+        loop candidate VERIFIES, which is data-dependent. On a
+        remote-compile TPU each late compile injects a multi-second stall
+        at an unpredictable point of a live run (the round-3 profile
+        showed a 3.7 s backend pass and 380 ms frontend stalls from
+        exactly this). One call compiles the closed set at the session's
+        static shapes. Must run on a FRESH session; ends with `reset()`,
+        so the session comes out pristine.
+        """
+        cfg = self.cfg
+        cam = cfg.camera
+
+        # ---- backend solvers first: the async worker would otherwise race
+        # a duplicate compile of the same BA executables during the
+        # frontend warmup below.
+        from slam_rgbd_tpu.backend import ba as ba_mod
+        from slam_rgbd_tpu.backend import loop as loop_mod
+
+        W = 2 * cfg.ba.window
+        K = self._kp_capacity()
+        P = cfg.keyframes.max_map_points
+        poses = jnp.tile(jnp.eye(4), (W, 1, 1))
+        valid = jnp.ones((W,), bool)
+        free = jnp.arange(W) >= cfg.ba.window
+        res = ba_mod.windowed_local_ba(
+            poses, valid, jnp.zeros((P, 3)), jnp.zeros((W, K, 2)),
+            jnp.zeros((W, K)), jnp.full((W, K), -1, jnp.int32),
+            jnp.zeros((W, K), bool), cam, cfg.ba, free_mask=free,
+            dispatch_iters=cfg.ba.dispatch_iters or None,
+        )
+        jax.block_until_ready(res.kf_pose)
+        cand = loop_mod.find_loop_candidate(
+            self.map, jnp.int32(0),
+            min_interval=cfg.ba.loop_min_interval,
+            min_score=cfg.ba.loop_min_score,
+        )
+        ver = loop_mod.verify_loop(self.map, jnp.int32(0), cand.kf_idx)
+        e2, _n2 = self.edges.add(self.n_edges, 0, 1, jnp.eye(4), 5.0)
+        pg = pg_mod.optimize_pose_graph(
+            self.map.kf_pose, self.map.kf_valid, e2,
+            iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
+        )
+        jax.block_until_ready((ver.T_rel, pg.poses))
+
+        # ---- frontend on a textured sloped plane: valid geometry + FAST
+        # corners without rendering (no extra raycast compile).
+        yy, xx = np.meshgrid(
+            np.arange(cam.height), np.arange(cam.width), indexing="ij"
+        )
+        depth = (1800.0 + 2.0 * xx + 1.5 * yy).astype(np.uint16)
+        rgb = np.broadcast_to(
+            (((xx // 8 + yy // 8) % 2) * 160 + 48).astype(np.uint8)[..., None],
+            (cam.height, cam.width, 3),
+        ).copy()
+        self.process_frame(0.0, depth, rgb)  # bootstrap KF + features/insert
+        self.process_frame(1.0 / 30, depth, rgb)  # fused steady step
+        self.flush_pipeline()  # summary fetch/resolve
+        # keyframe against an existing map: association + merge tiers; the
+        # 3rd insert makes backend_pass run its full BA stage (n_kf >= 3).
+        self._insert_keyframe(2.0 / 30, depth, rgb, self.T_world)
+        self.sync_backend()
+        self._insert_keyframe(3.0 / 30, depth, rgb, self.T_world)
+        self.sync_backend()
+        # relocalization (map-wide Hamming match + 3D-3D solve)
+        self._relocalize(depth, rgb)
+        # trajectory-ring rigid correction
+        self._traj_T_dev = _traj_correct(
+            self._traj_T_dev, np.int32(0), jnp.eye(4)
+        )
+        # backend merge math (snapshot poses == live poses -> C == I)
+        self._apply_backend(bworker.BackendResult(
+            snap_kf_idx=self.last_kf_idx,
+            kf_pose=self.map.kf_pose,
+            pt_xyz=self.map.pt_xyz,
+            pt_adjusted=jnp.zeros((P,), bool),
+        ))
+        jax.block_until_ready(self.T_world)
+        self.reset()
+
     # ------------------------------------------------------------------ utils
     def _kp_capacity(self) -> int:
         """Total keypoint slots after per-level budget rounding."""

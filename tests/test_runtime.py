@@ -56,6 +56,23 @@ class TestSLAMSession:
         assert sess.state.keyframes >= 3
         assert sess.map_point_count() > 200
 
+    def test_warmup_leaves_session_pristine(self):
+        """`warmup()` compiles the whole program set, then the session must
+        behave exactly like a fresh one (state reset, tracking clean)."""
+        cfg = small_config()
+        sess = SLAMSession(cfg)
+        sess.warmup()
+        assert sess.state.frames == 0
+        assert sess.state.keyframes == 0
+        assert sess.map_point_count() == 0
+        assert len(sess.stats) == 0
+        seq = SyntheticSequence(8, CAM, step_t=0.015, step_r=0.012)
+        for ts, d, c in seq:
+            sess.process_frame(ts, d, c)
+        ts, est = sess.poses()
+        rmse, _, _ = ate_rmse(est, seq.groundtruth())
+        assert rmse < 0.02, f"post-warmup ATE {rmse:.4f}"
+
     def test_deep_decision_lag(self, monkeypatch):
         """Force the decision pipeline to its lag bound (summaries 'never'
         land): keyframes insert from STASHED poses several frames late,
