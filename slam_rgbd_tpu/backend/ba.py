@@ -47,6 +47,38 @@ class BAResult(NamedTuple):
     # the per-window compaction budget (excluded from this pass)
 
 
+def _inv3x3(M):
+    """Closed-form adjugate inverse of batched 3x3 blocks.
+
+    `jnp.linalg.inv` lowers to a batched-LU custom call that traced at
+    ~1.6 ms per LM iteration for the (2049, 3, 3) Hpp table — 35% of the
+    whole iteration. The cofactor form is ~40 fused elementwise ops.
+    Callers pass DAMPED blocks (relative Levenberg damping on the
+    diagonal), so the determinant is bounded away from zero exactly where
+    the LU path was relying on the same conditioning.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    ca = e * i - f * h
+    cb = c * h - b * i
+    cc = b * f - c * e
+    cd = f * g - d * i
+    ce = a * i - c * g
+    cf = c * d - a * f
+    cg = d * h - e * g
+    ch = b * g - a * h
+    ci = a * e - b * d
+    det = a * ca + b * cd + c * cg
+    inv_det = 1.0 / det
+    rows = [
+        jnp.stack([ca, cb, cc], axis=-1),
+        jnp.stack([cd, ce, cf], axis=-1),
+        jnp.stack([cg, ch, ci], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+
+
 def _reproj_residuals(poses_wc, pt_xyz, obs_uv, obs_z, obs_pid, obs_ok, cam):
     """Residuals + Jacobians for all (W, K) observations.
 
@@ -192,7 +224,7 @@ def _make_lm(
         # there (LU pivot underflows to NaN). `lam` is the live LM damping.
         tr = (Hpp[:, 0, 0] + Hpp[:, 1, 1] + Hpp[:, 2, 2]) / 3.0
         Hpp = Hpp + (lam * tr + 1e-5)[:, None, None] * jnp.eye(3)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = _inv3x3(Hpp)
         Hpp_inv = jnp.where(observed[:, None, None], Hpp_inv, 0.0)
 
         # --- camera blocks: Hcc (W, 6, 6) -> (D, D) block-diag -------------

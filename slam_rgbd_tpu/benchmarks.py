@@ -52,7 +52,7 @@ def enable_compile_cache():
 BASELINE_FPS = 30.0  # the reference's real-time operating target
 
 
-def _render_sequence(cfg, n_frames):
+def _render_sequence(cfg, n_frames, return_gt=False):
     """Pre-render an orbit on device: list of (ts, depth u16, rgb u8)."""
     from slam_rgbd_tpu.io.synthetic import SceneSpec, orbit_trajectory, render_frame
 
@@ -68,10 +68,12 @@ def _render_sequence(cfg, n_frames):
         # upload would measure tunnel bandwidth, not SLAM.
         frames.append((i / 30.0, d, c))
     jax.block_until_ready(frames[-1][1])
+    if return_gt:
+        return frames, np.asarray(poses)
     return frames
 
 
-def bench_session(cfg, frames):
+def bench_session(cfg, frames, gt_poses=None):
     """Full pipeline: tracking + features + map + async BA/loop closure."""
     from slam_rgbd_tpu.runtime.session import SLAMSession
 
@@ -101,7 +103,7 @@ def bench_session(cfg, frames):
     wall_s = time.perf_counter() - t0
 
     ms = np.asarray([s.track_ms for s in sess.stats[1:]])  # skip bootstrap
-    return {
+    out = {
         "session_fps": round(len(frames) / wall_s, 2),
         "session_mean_ms": round(float(ms.mean()), 2),
         "session_p50_ms": round(float(np.percentile(ms, 50)), 2),
@@ -109,8 +111,18 @@ def bench_session(cfg, frames):
         "session_max_ms": round(float(ms.max()), 2),
         "keyframes": sess.state.keyframes,
         "map_points": sess.map_point_count(),
+        "loops": sess.state.loops,
         "backend_jobs": getattr(sess, "worker_stats", {}),
     }
+    if gt_poses is not None:
+        # accuracy of the SAME timed run (BASELINE.md: <=5 cm ATE at >=30
+        # fps is one joint target, not two separate ones)
+        from slam_rgbd_tpu.eval.trajectory import ate_rmse
+
+        _, est = sess.poses()
+        rmse, _, _ = ate_rmse(est, gt_poses[: len(est)])
+        out["session_ate_cm"] = round(rmse * 100, 3)
+    return out
 
 
 def bench_tracking(cfg, frames, iters=120):
@@ -330,8 +342,19 @@ def bench_ba(cfg, timing_iters=30):
          jnp.asarray(obs_z), jnp.asarray(pid), jnp.asarray(obs_ok))
     )
 
+    # each timed call gets a UNIQUE observation array: repeated identical
+    # dispatches of a pure jitted program can be elided by the runtime
+    # (measured 0.01 ms/iter on a 3 ms/iter solve), which would turn this
+    # bench into a dispatch-overhead meter
+    base_uv = args[3]
+    call_i = [0]
+
     def run():
-        res = windowed_local_ba(*args, cam, cfg.ba, free_mask=free)
+        call_i[0] += 1
+        res = windowed_local_ba(
+            args[0], args[1], args[2], base_uv + 1e-3 * call_i[0], args[4],
+            args[5], args[6], cam, cfg.ba, free_mask=free,
+        )
         return res.kf_pose
 
     t = _time_device(run, iters=timing_iters)
@@ -352,7 +375,7 @@ def main():
     # past keyframe 20. BENCH_FRAMES=n shortens smoke runs.
     n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
     _note(f"rendering {n_frames} frames at 640x480 on {jax.default_backend()}")
-    frames = _render_sequence(cfg, n_frames)
+    frames, gt_poses = _render_sequence(cfg, n_frames, return_gt=True)
 
     extras = {}
     _note("tracking-only bench")
@@ -362,7 +385,7 @@ def main():
     _note("local-BA ms/iteration bench")
     extras.update(bench_ba(cfg))
     _note("full-session bench (warmup pass compiles every path)")
-    session = bench_session(cfg, frames)
+    session = bench_session(cfg, frames, gt_poses=gt_poses)
     extras.update(session)
     extras["device"] = jax.devices()[0].device_kind
 

@@ -163,10 +163,13 @@ class BAConfig:
     max_points_per_window: int = 2048
     iters: int = 5
     # LM iterations per backend device dispatch (0 = whole solve as one
-    # program). On a single chip the frontend's per-frame programs queue
-    # behind backend dispatches; chunking bounds frontend tail latency by
-    # one chunk instead of the whole solve. Identical math either way.
-    dispatch_iters: int = 1
+    # program; k = ceil(iters/k) separate dispatches with LM state carried
+    # — identical math, bounds frontend tail latency by one chunk when the
+    # solve is long). Default single-program: with the LU custom call
+    # replaced by the closed-form 3x3 inverse the whole windowed solve
+    # fuses to ~0.7 ms on v5e, cheaper than the chunks' per-dispatch
+    # overhead it was hiding.
+    dispatch_iters: int = 0
     huber_delta_px: float = 2.0
     # Observations with residual above this are hard-dropped each iteration
     # (outlier gate; Huber alone still lets aliased matches bias the solve).

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from slam_rgbd_tpu.core import se3
 from slam_rgbd_tpu.core.config import KeyframeConfig
 
 
@@ -101,7 +102,7 @@ def should_insert_keyframe(
 ) -> jax.Array:
     """Keyframe decision: enough motion since the last KF, or tracking
     quality dropping (ORB-SLAM-style policy, thresholds from config)."""
-    D = jnp.linalg.inv(T_world_last_kf) @ T_world_cam
+    D = se3.inverse(T_world_last_kf) @ T_world_cam
     trans = jnp.linalg.norm(D[:3, 3])
     cos_r = jnp.clip((D[0, 0] + D[1, 1] + D[2, 2] - 1.0) * 0.5, -1.0, 1.0)
     rot = jnp.arccos(cos_r)
@@ -275,7 +276,7 @@ def match_against_map(
 
     K, P = signs.shape[0], m.capacity_pt
     # project all map points into the query camera
-    T_cw = jnp.linalg.inv(T_world_cam)
+    T_cw = se3.inverse(T_world_cam)
     p_c = m.pt_xyz @ T_cw[:3, :3].T + T_cw[:3, 3]  # (P, 3)
     z = p_c[:, 2]
     z_safe = jnp.maximum(z, 1e-6)

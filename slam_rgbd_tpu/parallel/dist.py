@@ -36,6 +36,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from slam_rgbd_tpu.backend.ba import BAResult, local_ba
+from slam_rgbd_tpu.core import se3
 from slam_rgbd_tpu.core.config import BAConfig, CameraIntrinsics, ICPConfig
 from slam_rgbd_tpu.odometry.icp import icp_align
 
@@ -174,7 +175,7 @@ def sharded_map_association(
         pts_w = kp_pts @ T_world_cam[:3, :3].T + T_world_cam[:3, 3]
     else:
         pts_w = jnp.zeros((K, 3), jnp.float32)
-    T_cw = jnp.linalg.inv(T_world_cam)
+    T_cw = se3.inverse(T_world_cam)
 
     @functools.partial(
         shard_map,
