@@ -102,9 +102,16 @@ def verify_loop(
     p2 = m.kp_pts[cand_idx][mt.idx2]  # matched candidate-camera points
     res: Pose3DResult = solve_pose3d(p1, p2, mt.valid, iters=8)
     n_m = jnp.sum(mt.valid)
+    # Acceptance needs CONSENSUS, not just a count: repeating texture
+    # yields aliased match sets that are mutually consistent, and a
+    # 30-inlier wrong solution out of 400 matches used to pass (and bend
+    # the whole trajectory through the pose graph). Requiring the solve
+    # to explain >= 50% of all matches, tightly (rmse < 6 cm), makes a
+    # structured-alias win much harder than a genuine revisit.
+    consensus = res.inliers >= 0.5 * n_m.astype(jnp.float32)
     return LoopVerification(
         T_rel=res.T,
         inliers=res.inliers,
         n_matches=n_m,
-        ok=res.ok & (n_m >= min_matches),
+        ok=res.ok & (n_m >= min_matches) & consensus & (res.rmse < 0.06),
     )

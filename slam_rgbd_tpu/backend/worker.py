@@ -36,10 +36,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from slam_rgbd_tpu.backend import ba as ba_mod
 from slam_rgbd_tpu.backend import loop as loop_mod
 from slam_rgbd_tpu.backend import pose_graph as pg_mod
+from slam_rgbd_tpu.core import se3
 from slam_rgbd_tpu.core.config import SLAMConfig
 from slam_rgbd_tpu.mapping import map as smap
 
@@ -53,6 +55,7 @@ class BackendJob:
     n_edges: jax.Array
     kf_idx: int  # newest keyframe slot at snapshot time
     n_kf: int = -1  # host-mirrored keyframe count (-1 = read from device)
+    allow_loop: bool = True  # session-side loop cooldown gate
 
 
 @dataclass
@@ -67,6 +70,32 @@ class BackendResult:
     backend_ms: float = 0.0
 
 
+def _loop_consistent(m, cand_idx, kf_idx, T_rel, cfg) -> bool:
+    """Accept a verified loop edge only if its discrepancy against the
+    current pose estimates is within plausible accumulated drift
+    (`BAConfig.loop_max_residual_*`). Geometric verification can pass
+    aliased match sets in self-similar scenes; an inconsistent edge with
+    pose-graph weight 5 destroys the whole trajectory."""
+    Ti = jnp.take(m.kf_pose, jnp.asarray(cand_idx, jnp.int32), axis=0)
+    Tj = jnp.take(m.kf_pose, jnp.int32(kf_idx), axis=0)
+    resid = np.asarray(se3.log(se3.inverse(T_rel) @ se3.inverse(Ti) @ Tj))
+    if not np.isfinite(resid).all():
+        return False
+    t_err = float(np.linalg.norm(resid[:3]))
+    r_err = float(np.linalg.norm(resid[3:]))
+    ok = (
+        t_err <= cfg.ba.loop_max_residual_t
+        and r_err <= float(np.deg2rad(cfg.ba.loop_max_residual_deg))
+    )
+    if not ok:
+        log.warning(
+            "loop edge KF%s -> KF%d rejected by consistency gate "
+            "(t %.2f m, rot %.1f deg)",
+            cand_idx, kf_idx, t_err, float(np.rad2deg(r_err)),
+        )
+    return ok
+
+
 def backend_pass(
     m: smap.MapState,
     edges: pg_mod.EdgeList,
@@ -74,6 +103,7 @@ def backend_pass(
     kf_idx: int,
     cfg: SLAMConfig,
     n_kf: int = -1,
+    allow_loop: bool = True,
 ) -> BackendResult:
     """One backend iteration on a map snapshot: local BA, then a loop
     attempt (candidate -> geometric verification -> pose graph). Pure in
@@ -128,7 +158,7 @@ def backend_pass(
     # candidate gating together, instead of two round-trips serialized
     # behind the frontend's in-flight frames.
     cand = None
-    if n_kf > cfg.ba.loop_min_interval:
+    if allow_loop and n_kf > cfg.ba.loop_min_interval:
         cand = loop_mod.find_loop_candidate(
             m, jnp.int32(kf_idx),
             min_interval=cfg.ba.loop_min_interval,
@@ -142,7 +172,7 @@ def backend_pass(
     if cand is not None:
         if bool(cand.ok):
             ver = loop_mod.verify_loop(m, jnp.int32(kf_idx), cand.kf_idx)
-            if bool(ver.ok):
+            if bool(ver.ok) and _loop_consistent(m, cand.kf_idx, kf_idx, ver.T_rel, cfg):
                 # tentative edge cand -> query for the pose graph
                 edges2, n_edges2 = edges.add(
                     n_edges, int(cand.kf_idx), kf_idx, ver.T_rel, weight=5.0
@@ -151,6 +181,26 @@ def backend_pass(
                     m.kf_pose, m.kf_valid, edges2,
                     iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
                 )
+                # Map points ride with their anchor (first-observing)
+                # keyframe: X -> T_new[a] T_old[a]^-1 X. Correcting only
+                # the keyframe poses leaves the structure where the
+                # PRE-loop trajectory put it, and every later association
+                # and BA pass then fights the bent trajectory (measured
+                # as WORSE ATE with more loop closures).
+                anchor = jnp.clip(m.pt_first_kf, 0, m.capacity_kf - 1)
+                T_old_a = m.kf_pose[anchor]  # (P, 4, 4)
+                delta = jnp.einsum(
+                    "pij,pjk->pik", pg.poses[anchor],
+                    jax.vmap(se3.inverse)(T_old_a),
+                )
+                pt_new = (
+                    jnp.einsum("pij,pj->pi", delta[:, :3, :3], m.pt_xyz)
+                    + delta[:, :3, 3]
+                )
+                out.pt_xyz = jnp.where(
+                    m.pt_valid[:, None], pt_new, m.pt_xyz
+                )
+                out.pt_adjusted = out.pt_adjusted | m.pt_valid
                 out.kf_pose = pg.poses
                 out.loop_edge = (int(cand.kf_idx), kf_idx, ver.T_rel, 5.0)
                 out.loop_closed = True
@@ -164,17 +214,35 @@ def backend_pass(
 
 
 class BackendWorker:
-    """One backend thread, one in-flight job, one pending result.
+    """One backend thread, one in-flight job, one LATEST-pending job, one
+    pending result.
 
-    `submit` is non-blocking: while a job is running (or a result is
-    unconsumed) the new job is dropped and counted — the frontend never
-    waits on the backend (`SLAM.cpp:162-168` drop semantics).
+    `submit` is non-blocking and uses a replace-with-newest policy: while a
+    job is in flight (or a result is unconsumed), the newly submitted job
+    REPLACES any still-waiting one — the displaced job is the recorded
+    skip. During keyframe bursts this guarantees the burst's NEWEST
+    snapshot gets a backend pass as soon as the worker frees up (sliding
+    windows overlap, so the newest window covers the burst), where the old
+    drop-on-busy policy processed only the burst's first keyframe and
+    starved BA/loop-closure coverage (35/45 jobs dropped in the round-3
+    bench, and the accuracy cost was visible: 22.9 cm vs 8.8 cm ATE
+    against the inline backend on the same sequence). Bounded memory and
+    zero frontend blocking are preserved (`SLAM.cpp:162-168` semantics —
+    the reference also drops the OLDEST queued frames, keeping new ones).
+
+    A waiting job's snapshot may predate the merge of the in-flight job's
+    result; that is safe by design — each BA pass re-solves its window
+    from the snapshot rather than refining incrementally, and
+    `SLAMSession._apply_backend` anchors merges with a rigid correction
+    computed against the CURRENT map, so keyframes inserted after the
+    snapshot are carried consistently.
     """
 
     def __init__(self, cfg: SLAMConfig):
         self.cfg = cfg
         self._cv = threading.Condition()
-        self._job: Optional[BackendJob] = None
+        self._job: Optional[BackendJob] = None  # in flight on the thread
+        self._next_job: Optional[BackendJob] = None  # latest waiting
         self._result: Optional[BackendResult] = None
         self._stop = False
         self.skipped = 0
@@ -187,20 +255,42 @@ class BackendWorker:
     # ------------------------------------------------------------- frontend
     def submit(self, job: BackendJob) -> bool:
         with self._cv:
-            if self._job is not None or self._result is not None:
-                self.skipped += 1
-                return False
-            self._job = job
+            if self._job is None and self._result is None:
+                self._job = job
+                self._cv.notify_all()
+                return True
+            if self._next_job is not None:
+                self.skipped += 1  # displaced by the newer snapshot
+            self._next_job = job
+            return False
+
+    def _consume_locked(self) -> Optional[BackendResult]:
+        """Take the pending result; promote the latest waiting job (must
+        hold the lock)."""
+        r, self._result = self._result, None
+        if r is not None and self._next_job is not None:
+            self._job, self._next_job = self._next_job, None
             self._cv.notify_all()
-            return True
+        return r
 
     def poll(self) -> Optional[BackendResult]:
         with self._cv:
-            r, self._result = self._result, None
-            return r
+            return self._consume_locked()
+
+    def busy(self) -> bool:
+        """True while a job is in flight, waiting, or unconsumed."""
+        with self._cv:
+            return (
+                self._job is not None
+                or self._next_job is not None
+                or self._result is not None
+            )
 
     def flush(self, timeout: float = 30.0) -> Optional[BackendResult]:
-        """Wait for the in-flight job (if any) and return its result."""
+        """Wait for the in-flight job (if any) and return its result.
+
+        Callers draining the worker completely loop `flush` while `busy()`
+        — consuming a result promotes the latest waiting job."""
         deadline = time.monotonic() + timeout
         with self._cv:
             while self._job is not None and not self._stop:
@@ -209,8 +299,7 @@ class BackendWorker:
                     log.error("backend flush timed out")
                     return None
                 self._cv.wait(timeout=min(remaining, 0.5))
-            r, self._result = self._result, None
-            return r
+            return self._consume_locked()
 
     def stop(self, timeout: float = 10.0):
         with self._cv:
@@ -230,7 +319,7 @@ class BackendWorker:
             try:
                 result = backend_pass(
                     job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
-                    n_kf=job.n_kf,
+                    n_kf=job.n_kf, allow_loop=job.allow_loop,
                 )
             except Exception:  # noqa: BLE001 — surfaced via log + liveness
                 log.exception("backend pass failed; dropping job")

@@ -57,7 +57,10 @@ def _render_sequence(cfg, n_frames, return_gt=False):
     from slam_rgbd_tpu.io.synthetic import SceneSpec, orbit_trajectory, render_frame
 
     spec = SceneSpec()
-    poses = orbit_trajectory(n_frames, spec)
+    # out-and-back sweep: the second half revisits the first half's views,
+    # so the timed session exercises loop closure / re-association — the
+    # mechanisms that keep ATE bounded — not just open-loop odometry
+    poses = orbit_trajectory(n_frames, spec, sweep=True)
     frames = []
     for i in range(n_frames):
         d, c = render_frame(jnp.asarray(poses[i]), cfg.camera, spec)
@@ -82,7 +85,7 @@ def bench_session(cfg, frames, gt_poses=None):
         try:
             for ts, d, c in frames:
                 sess.process_frame(ts, d, c)
-            sess.sync_backend(timeout=flush_timeout)
+            sess.sync_backend(timeout=flush_timeout, final_pass=True)
             sess.worker_stats = dict(completed=sess.worker.completed,
                                      skipped=sess.worker.skipped)
             return sess

@@ -85,6 +85,9 @@ def cmd_run(args):
     if args.record and runner.recorder:
         runner.recorder.close()
 
+    # end-of-sequence backend coverage before any export (SLAM.cpp:177-198
+    # saves through a final optimization on shutdown)
+    session.sync_backend(final_pass=True)
     print(f"frames={session.state.frames} keyframes={session.state.keyframes} "
           f"map_points={session.map_point_count()} loops={session.state.loops} "
           f"lost={session.state.lost}")

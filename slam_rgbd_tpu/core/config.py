@@ -181,6 +181,18 @@ class BAConfig:
     # Loop closure
     loop_min_score: float = 0.20
     loop_min_interval: int = 20  # keyframes between loop candidates
+    # Consistency gate: a verified loop edge is accepted only if its
+    # discrepancy against the CURRENT pose estimates (the would-be edge
+    # residual) is within plausible accumulated drift. Geometric
+    # verification alone can pass aliased matches in self-similar scenes —
+    # one such accepted edge (5.5 m in a 2 m room) dragged the live pose
+    # through the merge correction and cascaded into tracking divergence.
+    loop_max_residual_t: float = 1.0  # metres
+    loop_max_residual_deg: float = 45.0
+    # Keyframes to wait after an accepted loop before attempting another:
+    # every backend pass during a revisit otherwise re-closes the same
+    # region, stacking near-duplicate weight-5 edges on the pose graph.
+    loop_cooldown_kf: int = 8
 
 
 @dataclass(frozen=True)

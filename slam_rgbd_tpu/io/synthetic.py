@@ -244,25 +244,34 @@ def apply_sensor_noise(
 
 def orbit_trajectory(n_frames: int, spec: SceneSpec = SceneSpec(),
                      radius: float = 0.8, step_t: float = 0.012,
-                     step_r: float = 0.01, seed: int = 3) -> np.ndarray:
+                     step_r: float = 0.01, seed: int = 3,
+                     sweep: bool = False) -> np.ndarray:
     """Smooth ground-truth trajectory: (n, 4, 4) camera-to-world poses.
 
     A gentle orbit + bob inside the room, with small per-frame motion
     comparable to TUM fr1 handheld speed (~1 cm / 0.5 deg per frame).
+
+    `sweep=True` reverses the yaw (and forward drift) halfway: the camera
+    sweeps out and RETURNS through previously-seen views at the same
+    angular speed — the second half offers real revisit opportunities, so
+    place recognition, loop verification, and the map's re-association /
+    merge tiers are exercised end-to-end (a one-way orbit at this rate
+    covers only ~0.6 deg x n_frames and never revisits anything).
     """
     poses = []
     T = np.eye(4, dtype=np.float32)
     T[:3, 3] = (0.0, 0.0, -radius)
     for i in range(n_frames):
         a = i * step_r
+        direction = -1.0 if (sweep and i >= n_frames // 2) else 1.0
         # twist in camera frame: forward drift + slow yaw + bob
         xi = np.array(
             [
                 step_t * np.sin(a * 3.0),
                 step_t * 0.5 * np.cos(a * 5.0),
-                step_t * np.cos(a * 2.0),
+                direction * step_t * np.cos(a * 2.0),
                 step_r * 0.3 * np.sin(a * 4.0),
-                step_r * 1.0,
+                direction * step_r * 1.0,
                 step_r * 0.2 * np.cos(a * 3.0),
             ],
             dtype=np.float32,

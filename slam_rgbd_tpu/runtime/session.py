@@ -223,6 +223,7 @@ class SLAMSession:
         self._pending: "collections.deque[_PendingFrame]" = collections.deque()
         self._frame_i = 0
         self._last_kf_frame_i = -(10 ** 9)
+        self._last_loop_kf = -(10 ** 9)
 
         self._traj_ts: list[float] = []
         self._frame_kf_idx: list[int] = []  # last KF index per frame
@@ -430,13 +431,24 @@ class SLAMSession:
             )
             T_fixed = self._relocalize(e.depth_raw, e.rgb)
             if T_fixed is not None:
+                # plausibility bound on the correction: a single lost
+                # frame can only be centimetres off, so a relocalization
+                # demanding a metre-scale jump is an aliased solve —
+                # safer to keep integrating odometry than to teleport
+                C = T_fixed @ se3.inverse(e.T)
+                C_t = float(np.linalg.norm(np.asarray(C)[:3, 3]))
+                if C_t > 1.0:
+                    log.warning(
+                        "relocalization rejected: implied %.2f m jump", C_t
+                    )
+                    T_fixed = None
+            if T_fixed is not None:
                 self.state.relocalized += 1
                 e.st.tracking_ok = True
                 self.motion = jnp.eye(4)
                 # rigid correction from the lost frame's estimate; applies
                 # to the live pose, every frame logged since, and every
                 # still-pending estimate (they all inherited the bad pose)
-                C = T_fixed @ se3.inverse(e.T)
                 e.T = T_fixed
                 self.T_world = se3.normalize_rotation(C @ self.T_world)
                 self._traj_T_dev = _traj_correct(
@@ -532,10 +544,15 @@ class SLAMSession:
         kp, desc, pts, ok = self._features(depth_raw, rgb)
 
         # associate against the map (reprojection + depth gates, plus the
-        # 3D merge tier that suppresses duplicate-point spawns)
+        # 3D merge tier that suppresses duplicate-point spawns). Uses
+        # T_pose — the KEYFRAME's own pose estimate — NOT the live
+        # T_world: under decision pipelining the live pose has advanced up
+        # to max_decision_lag frames (~10 cm / 5 deg) past this frame, and
+        # inserting/associating at the advanced pose biased every map
+        # keyframe, association gate, and odometry edge by the lag.
         if self._n_kf_host > 0:
             match_pid = smap.match_against_map(
-                self.map, desc.signs, ok, kp.uv, pts[:, 2], self.T_world,
+                self.map, desc.signs, ok, kp.uv, pts[:, 2], T_pose,
                 cam=self.cfg.camera,
                 max_distance=float(self.cfg.orb.match_threshold),
                 kp_pts=pts,
@@ -546,7 +563,7 @@ class SLAMSession:
 
         prev_kf_idx = self.last_kf_idx
         self.map = smap.insert_keyframe(
-            self.map, self.T_world, jnp.float32(ts), kp.uv, pts, ok,
+            self.map, T_pose, jnp.float32(ts), kp.uv, pts, ok,
             desc.signs, match_pid,
         )
         kf_idx = self._n_kf_host
@@ -559,10 +576,11 @@ class SLAMSession:
         self.last_kf_T = jnp.take(self.map.kf_pose, jnp.int32(kf_idx), axis=0)
         self.state.keyframes += 1
 
-        # odometry edge between consecutive keyframes
+        # odometry edge between consecutive keyframes (T_pose, not the
+        # lag-advanced live pose — see the association comment above)
         if prev_kf_idx >= 0:
             T_prev = jnp.take(self.map.kf_pose, jnp.int32(prev_kf_idx), axis=0)
-            T_rel = se3.inverse(T_prev) @ self.T_world
+            T_rel = se3.inverse(T_prev) @ T_pose
             self.edges, self.n_edges = self.edges.add(
                 self.n_edges, prev_kf_idx, kf_idx, T_rel, weight=1.0
             )
@@ -583,13 +601,16 @@ class SLAMSession:
         job = bworker.BackendJob(
             map=self.map, edges=self.edges, n_edges=self.n_edges,
             kf_idx=kf_idx, n_kf=self._n_kf_host,
+            allow_loop=(
+                kf_idx - self._last_loop_kf >= self.cfg.ba.loop_cooldown_kf
+            ),
         )
         if self.worker is not None:
             self.worker.submit(job)  # busy => recorded skip, never blocks
         else:
             res = bworker.backend_pass(
                 job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
-                n_kf=job.n_kf,
+                n_kf=job.n_kf, allow_loop=job.allow_loop,
             )
             self._apply_backend(res)
             out["ba_rmse"] = res.ba_rmse
@@ -613,6 +634,23 @@ class SLAMSession:
         T_old = jnp.take(self.map.kf_pose, snap, axis=0)
         T_new = jnp.take(r.kf_pose, snap, axis=0)
         C = se3.normalize_rotation(T_new @ se3.inverse(T_old))
+        # Bounded-merge guard: a backend result must never be able to
+        # destroy the live session. Non-finite output or a rigid
+        # correction far beyond plausible drift (backend math gone wrong,
+        # e.g. an aliased loop edge slipping through the gates) is dropped
+        # with an error — the next pass runs on an intact map.
+        C_np = np.asarray(C)
+        if (
+            not np.isfinite(C_np).all()
+            or np.linalg.norm(C_np[:3, 3]) > 2.0
+            or not np.isfinite(np.asarray(r.kf_pose)).all()
+        ):
+            log.error(
+                "backend result rejected: poses non-finite or correction "
+                "implausible (|t|=%.2f m) — dropping merge",
+                float(np.linalg.norm(C_np[:3, 3])) if np.isfinite(C_np).all() else float("nan"),
+            )
+            return
 
         slot = jnp.arange(self.map.capacity_kf)
         kf_pose = jnp.where(
@@ -635,6 +673,7 @@ class SLAMSession:
                 self.n_edges, i, j, T_rel, weight=weight
             )
             self.state.loops += 1
+            self._last_loop_kf = max(self._last_loop_kf, r.snap_kf_idx)
         self.T_world = se3.normalize_rotation(C @ self.T_world)
         # still-pending frame estimates inherited the pre-merge anchor; a
         # keyframe inserted from one must land in the corrected frame
@@ -650,12 +689,31 @@ class SLAMSession:
                 backend_ms=round(r.backend_ms, 2), loop=r.loop_closed,
             )
 
-    def sync_backend(self, timeout: float = 30.0):
-        """Drain the pipeline and the backend worker, merging results."""
+    def sync_backend(self, timeout: float = 30.0, final_pass: bool = False):
+        """Drain the pipeline and the backend worker, merging results.
+
+        `final_pass=True` additionally runs one inline backend pass over
+        the drained map — end-of-sequence coverage: under the worker's
+        replace-with-newest policy the last keyframes of a burst may
+        otherwise never get a BA/loop pass (the reference's shutdown path
+        likewise saves through one last optimization, `SLAM.cpp:177-198`).
+        """
         self.flush_pipeline()
         if self.worker is not None:
+            deadline = time.monotonic() + timeout
             self._apply_backend(self.worker.poll())
-            self._apply_backend(self.worker.flush(timeout))
+            while self.worker.busy():
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    log.error("sync_backend drain timed out")
+                    break
+                self._apply_backend(self.worker.flush(remaining))
+        if final_pass and self._n_kf_host >= 3:
+            res = bworker.backend_pass(
+                self.map, self.edges, self.n_edges, self.last_kf_idx,
+                self.cfg, n_kf=self._n_kf_host,
+            )
+            self._apply_backend(res)
 
     def close(self):
         """Stop the backend worker (drains the in-flight job first)."""
@@ -682,9 +740,18 @@ class SLAMSession:
 
         target = self.map.pt_xyz[m.idx2]
         res = solve_pose3d(pts, target, m.valid & ok, iters=8)
-        if bool(res.ok):
+        # consensus gate, like loop verification: a relocalization that
+        # explains under half of its own matches is an aliased solution
+        # (repeated texture), and accepting it teleports the trajectory
+        ok_np = np.asarray(
+            (res.ok & (res.inliers >= 0.5 * res.n_valid.astype(jnp.float32)))
+        )
+        if bool(ok_np):
             # res.T maps camera-frame pts onto world points => T_world_cam
-            log.info("relocalized with %d inliers", int(res.inliers))
+            log.info(
+                "relocalized with %d/%d inliers",
+                int(res.inliers), int(res.n_valid),
+            )
             return se3.normalize_rotation(res.T)
         return None
 
