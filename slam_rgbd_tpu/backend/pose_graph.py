@@ -132,8 +132,11 @@ def optimize_pose_graph(
         # need an inexact solve; D matvecs is the exact-solve bound.
         d_scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
         H_hat = H * d_scale[:, None] * d_scale[None, :]
+        # tol must be float32-achievable: CG's relative residual stalls
+        # around 1e-6..1e-7 in f32, so 1e-8 would always run the full
+        # maxiter matvec budget. GN only needs an inexact solve anyway.
         x, _ = jax.scipy.sparse.linalg.cg(
-            lambda v: H_hat @ v, -gv * d_scale, tol=1e-8, maxiter=256
+            lambda v: H_hat @ v, -gv * d_scale, tol=1e-5, maxiter=256
         )
         d = (x * d_scale).reshape(M, 6)
 

@@ -56,6 +56,12 @@ class BackendJob:
     kf_idx: int  # newest keyframe slot at snapshot time
     n_kf: int = -1  # host-mirrored keyframe count (-1 = read from device)
     allow_loop: bool = True  # session-side loop cooldown gate
+    # Loop-merge generation at snapshot time. A pose-graph merge rewrites
+    # EVERY keyframe pose in the live map; a job snapshotted before that
+    # merge would, via the verbatim slot<=snap pose overwrite, revert the
+    # loop correction when its result lands. The session bumps its
+    # generation on each loop merge and stale jobs/results are dropped.
+    generation: int = 0
 
 
 @dataclass
@@ -68,6 +74,7 @@ class BackendResult:
     loop_closed: bool = False
     ba_rmse: float = 0.0
     backend_ms: float = 0.0
+    generation: int = 0  # copied from the job that produced it
 
 
 def _loop_consistent(m, cand_idx, kf_idx, T_rel, cfg) -> bool:
@@ -231,11 +238,18 @@ class BackendWorker:
     the reference also drops the OLDEST queued frames, keeping new ones).
 
     A waiting job's snapshot may predate the merge of the in-flight job's
-    result; that is safe by design — each BA pass re-solves its window
-    from the snapshot rather than refining incrementally, and
-    `SLAMSession._apply_backend` anchors merges with a rigid correction
-    computed against the CURRENT map, so keyframes inserted after the
-    snapshot are carried consistently.
+    result; for BA-only results that is safe — each BA pass re-solves its
+    window from the snapshot, and `SLAMSession._apply_backend` anchors
+    merges with a rigid correction computed against the CURRENT map. It is
+    NOT safe across a loop-closure merge (the pose graph rewrites every
+    keyframe, which no single rigid correction can represent), so
+    promotion is generation-gated: the frontend consumes results with
+    `poll()`/`flush()` and then calls `advance(min_generation)` AFTER its
+    merge completes — a waiting job stamped before the last loop merge is
+    dropped there instead of promoted, and the session likewise drops a
+    stale RESULT before merging it. Promotion living in `advance` (not in
+    the consume path) also means a job that died with an exception can
+    never strand the waiting job: the frontend's next advance picks it up.
     """
 
     def __init__(self, cfg: SLAMConfig):
@@ -256,6 +270,9 @@ class BackendWorker:
     def submit(self, job: BackendJob) -> bool:
         with self._cv:
             if self._job is None and self._result is None:
+                if self._next_job is not None:
+                    self.skipped += 1  # superseded by the newer snapshot
+                    self._next_job = None
                 self._job = job
                 self._cv.notify_all()
                 return True
@@ -264,18 +281,42 @@ class BackendWorker:
             self._next_job = job
             return False
 
-    def _consume_locked(self) -> Optional[BackendResult]:
-        """Take the pending result; promote the latest waiting job (must
-        hold the lock)."""
-        r, self._result = self._result, None
-        if r is not None and self._next_job is not None:
-            self._job, self._next_job = self._next_job, None
-            self._cv.notify_all()
-        return r
-
     def poll(self) -> Optional[BackendResult]:
+        """Take the pending result (non-blocking; never promotes — call
+        `advance` after merging)."""
         with self._cv:
-            return self._consume_locked()
+            r, self._result = self._result, None
+            return r
+
+    def advance(self, min_generation: int = 0, allow_loop=None):
+        """Promote the latest waiting job, if any and the worker is idle.
+
+        Called by the frontend AFTER merging (or dropping) a consumed
+        result, so a job never starts against state its snapshot cannot
+        represent. A waiting job stamped before the last loop-closure
+        merge (`generation < min_generation`) is dropped as a skip.
+        `allow_loop(kf_idx) -> bool` re-evaluates the session's loop
+        cooldown at START time — the cooldown may have engaged since the
+        job was submitted.
+        """
+        with self._cv:
+            if self._job is not None or self._result is not None:
+                return
+            if self._next_job is None:
+                return
+            job, self._next_job = self._next_job, None
+            if job.generation < min_generation:
+                self.skipped += 1
+                log.info(
+                    "waiting backend job (KF%d) dropped: snapshot predates "
+                    "loop merge (gen %d < %d)",
+                    job.kf_idx, job.generation, min_generation,
+                )
+                return
+            if allow_loop is not None:
+                job.allow_loop = bool(allow_loop(job.kf_idx))
+            self._job = job
+            self._cv.notify_all()
 
     def busy(self) -> bool:
         """True while a job is in flight, waiting, or unconsumed."""
@@ -289,8 +330,8 @@ class BackendWorker:
     def flush(self, timeout: float = 30.0) -> Optional[BackendResult]:
         """Wait for the in-flight job (if any) and return its result.
 
-        Callers draining the worker completely loop `flush` while `busy()`
-        — consuming a result promotes the latest waiting job."""
+        Callers draining the worker completely loop `flush` + merge +
+        `advance` while `busy()` — advance promotes the waiting job."""
         deadline = time.monotonic() + timeout
         with self._cv:
             while self._job is not None and not self._stop:
@@ -299,7 +340,8 @@ class BackendWorker:
                     log.error("backend flush timed out")
                     return None
                 self._cv.wait(timeout=min(remaining, 0.5))
-            return self._consume_locked()
+            r, self._result = self._result, None
+            return r
 
     def stop(self, timeout: float = 10.0):
         with self._cv:
@@ -321,6 +363,7 @@ class BackendWorker:
                     job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
                     n_kf=job.n_kf, allow_loop=job.allow_loop,
                 )
+                result.generation = job.generation
             except Exception:  # noqa: BLE001 — surfaced via log + liveness
                 log.exception("backend pass failed; dropping job")
                 result = None

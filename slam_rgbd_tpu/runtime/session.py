@@ -224,6 +224,12 @@ class SLAMSession:
         self._frame_i = 0
         self._last_kf_frame_i = -(10 ** 9)
         self._last_loop_kf = -(10 ** 9)
+        # Loop-merge generation: bumped when a loop-closure result merges
+        # (the pose graph rewrites every keyframe). Backend jobs are
+        # stamped with it at submit; a job or result from an older
+        # generation is dropped — its verbatim pose merge would revert the
+        # loop correction (see BackendWorker docstring).
+        self._loop_gen = 0
 
         self._traj_ts: list[float] = []
         self._frame_kf_idx: list[int] = []  # last KF index per frame
@@ -354,9 +360,12 @@ class SLAMSession:
         t0 = time.monotonic()
         # merge any finished backend work FIRST: the snapshot discipline
         # (worker.py docstring) relies on corrections landing before the
-        # next keyframe can be inserted.
+        # next keyframe can be inserted. `advance` then promotes any
+        # waiting job — after the merge, so the generation gate sees the
+        # post-merge state.
         if self.worker is not None:
             self._apply_backend(self.worker.poll())
+            self.worker.advance(self._loop_gen, self._allow_loop)
         # resolve every in-flight frame whose summary has landed; force
         # (block on) the oldest only at the lag bound
         self._drain_pending(block=len(self._pending) >= self.cfg.runtime.max_decision_lag)
@@ -601,9 +610,8 @@ class SLAMSession:
         job = bworker.BackendJob(
             map=self.map, edges=self.edges, n_edges=self.n_edges,
             kf_idx=kf_idx, n_kf=self._n_kf_host,
-            allow_loop=(
-                kf_idx - self._last_loop_kf >= self.cfg.ba.loop_cooldown_kf
-            ),
+            allow_loop=self._allow_loop(kf_idx),
+            generation=self._loop_gen,
         )
         if self.worker is not None:
             self.worker.submit(job)  # busy => recorded skip, never blocks
@@ -629,6 +637,18 @@ class SLAMSession:
         correction path also makes the merge safe standalone.)
         """
         if r is None:
+            return
+        if r.generation < self._loop_gen:
+            # the result was computed from a snapshot that predates a
+            # merged loop closure: its poses would revert the pose-graph
+            # correction for every old keyframe. Drop it whole.
+            log.info(
+                "stale backend result (KF%d) dropped: snapshot predates "
+                "loop merge (gen %d < %d)",
+                r.snap_kf_idx, r.generation, self._loop_gen,
+            )
+            if self.worker is not None:
+                self.worker.skipped += 1
             return
         snap = jnp.int32(r.snap_kf_idx)  # array index: no per-slot recompile
         T_old = jnp.take(self.map.kf_pose, snap, axis=0)
@@ -659,7 +679,10 @@ class SLAMSession:
             jnp.einsum("ij,mjk->mik", C, self.map.kf_pose),
         )
         existed = self.map.pt_first_kf <= snap
-        use_ba = r.pt_adjusted & self.map.pt_valid & existed
+        # guard point output too: finite poses with NaN/Inf point rows
+        # (e.g. a degenerate landmark solve) must not poison the live map
+        pt_finite = jnp.all(jnp.isfinite(r.pt_xyz), axis=-1)
+        use_ba = r.pt_adjusted & self.map.pt_valid & existed & pt_finite
         pt_xyz = jnp.where(use_ba[:, None], r.pt_xyz, self.map.pt_xyz)
         spawned_after = self.map.pt_valid & ~existed
         pt_xyz = jnp.where(
@@ -674,6 +697,7 @@ class SLAMSession:
             )
             self.state.loops += 1
             self._last_loop_kf = max(self._last_loop_kf, r.snap_kf_idx)
+            self._loop_gen += 1  # older snapshots can no longer merge
         self.T_world = se3.normalize_rotation(C @ self.T_world)
         # still-pending frame estimates inherited the pre-merge anchor; a
         # keyframe inserted from one must land in the corrected frame
@@ -689,6 +713,11 @@ class SLAMSession:
                 backend_ms=round(r.backend_ms, 2), loop=r.loop_closed,
             )
 
+    def _allow_loop(self, kf_idx: int) -> bool:
+        """Loop-closure cooldown gate, evaluated against the CURRENT
+        `_last_loop_kf` (re-checked when a waiting job is promoted)."""
+        return kf_idx - self._last_loop_kf >= self.cfg.ba.loop_cooldown_kf
+
     def sync_backend(self, timeout: float = 30.0, final_pass: bool = False):
         """Drain the pipeline and the backend worker, merging results.
 
@@ -702,17 +731,21 @@ class SLAMSession:
         if self.worker is not None:
             deadline = time.monotonic() + timeout
             self._apply_backend(self.worker.poll())
+            self.worker.advance(self._loop_gen, self._allow_loop)
             while self.worker.busy():
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     log.error("sync_backend drain timed out")
                     break
                 self._apply_backend(self.worker.flush(remaining))
+                self.worker.advance(self._loop_gen, self._allow_loop)
         if final_pass and self._n_kf_host >= 3:
             res = bworker.backend_pass(
                 self.map, self.edges, self.n_edges, self.last_kf_idx,
                 self.cfg, n_kf=self._n_kf_host,
+                allow_loop=self._allow_loop(self.last_kf_idx),
             )
+            res.generation = self._loop_gen
             self._apply_backend(res)
 
     def close(self):
@@ -792,14 +825,20 @@ class SLAMSession:
         """
         self.sync_backend()
         ts, traj_T, kf_idx, kf_T_then = self._traj_arrays()
-        out = []
+        if len(ts) == 0:
+            return ts, np.zeros((0, 4, 4), np.float32)
+        # batched rigid inverse of the reference-KF poses (a per-frame
+        # np.linalg.inv loop here cost ~1 ms/frame at fetch time)
+        R = kf_T_then[:, :3, :3]
+        t = kf_T_then[:, :3, 3]
+        inv = np.tile(np.eye(4, dtype=np.float32), (len(ts), 1, 1))
+        inv[:, :3, :3] = R.transpose(0, 2, 1)
+        inv[:, :3, 3] = -np.einsum("nji,nj->ni", R, t)
         kf_pose_now = np.asarray(self.map.kf_pose)
-        for T, kf_i, T_kf_then in zip(traj_T, kf_idx, kf_T_then):
-            if kf_i >= 0:
-                out.append(kf_pose_now[kf_i] @ np.linalg.inv(T_kf_then) @ T)
-            else:
-                out.append(T)
-        return ts, np.stack(out) if out else np.zeros((0, 4, 4))
+        anchor = kf_pose_now[np.maximum(kf_idx, 0)]
+        out = np.einsum("nij,njk,nkl->nil", anchor, inv, traj_T)
+        out = np.where((kf_idx >= 0)[:, None, None], out, traj_T)
+        return ts, out
 
     def keyframe_poses(self) -> tuple[np.ndarray, np.ndarray]:
         self.sync_backend()
