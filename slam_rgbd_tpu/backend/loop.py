@@ -32,7 +32,13 @@ from slam_rgbd_tpu.mapping.map import MapState
 
 
 def place_signatures(m: MapState) -> jax.Array:
-    """(M, 256) L2-normalized mean-of-signs signatures for all keyframes."""
+    """(M, 256) L2-normalized mean-of-signs signatures for all keyframes.
+
+    Recomputes from the raw descriptor store — the oracle for the
+    incrementally-maintained `MapState.kf_sig` (which `insert_keyframe`
+    fills row-by-row and `find_loop_candidate` reads; streaming the whole
+    (M, K, 256) store per query cost ~100 MB of HBM traffic per backend
+    pass)."""
     s = m.kp_signs.astype(jnp.float32)  # (M, K, 256)
     w = m.kp_ok.astype(jnp.float32)[..., None]
     mean = jnp.sum(s * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
@@ -55,7 +61,7 @@ def find_loop_candidate(
     max_covis: int = 5,
 ) -> LoopCandidate:
     """Best loop candidate for keyframe `query_idx` (device-side gating)."""
-    sig = place_signatures(m)  # (M, 256)
+    sig = m.kf_sig  # (M, 256), maintained incrementally on insert
     q = sig[query_idx]
     sim = sig @ q  # (M,)
     idx = jnp.arange(m.capacity_kf)

@@ -28,6 +28,7 @@ Both the inline (synchronous) and threaded paths run the same
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 import time
@@ -77,30 +78,141 @@ class BackendResult:
     generation: int = 0  # copied from the job that produced it
 
 
-def _loop_consistent(m, cand_idx, kf_idx, T_rel, cfg) -> bool:
-    """Accept a verified loop edge only if its discrepancy against the
-    current pose estimates is within plausible accumulated drift
-    (`BAConfig.loop_max_residual_*`). Geometric verification can pass
-    aliased match sets in self-similar scenes; an inconsistent edge with
-    pose-graph weight 5 destroys the whole trajectory."""
-    Ti = jnp.take(m.kf_pose, jnp.asarray(cand_idx, jnp.int32), axis=0)
-    Tj = jnp.take(m.kf_pose, jnp.int32(kf_idx), axis=0)
-    resid = np.asarray(se3.log(se3.inverse(T_rel) @ se3.inverse(Ti) @ Tj))
-    if not np.isfinite(resid).all():
-        return False
-    t_err = float(np.linalg.norm(resid[:3]))
-    r_err = float(np.linalg.norm(resid[3:]))
-    ok = (
-        t_err <= cfg.ba.loop_max_residual_t
-        and r_err <= float(np.deg2rad(cfg.ba.loop_max_residual_deg))
-    )
-    if not ok:
-        log.warning(
-            "loop edge KF%s -> KF%d rejected by consistency gate "
-            "(t %.2f m, rot %.1f deg)",
-            cand_idx, kf_idx, t_err, float(np.rad2deg(r_err)),
+@functools.partial(jax.jit, static_argnames=("cfg", "run_ba"))
+def _backend_program(
+    m: smap.MapState,
+    edges: pg_mod.EdgeList,
+    n_edges: jax.Array,
+    kf_idx: jax.Array,  # () int32
+    allow_loop: jax.Array,  # () bool
+    cfg: SLAMConfig,
+    run_ba: bool,
+):
+    """The WHOLE backend pass as one device program.
+
+    Local BA, loop-candidate search, geometric verification, the edge
+    consistency gate, the pose graph, and the per-anchor point correction
+    all run inside a single dispatch, with verification/pose-graph under
+    `lax.cond` (executed only when a candidate passes, but COMPILED
+    unconditionally — so one warmup call covers the full closed set; the
+    round-3 bench hit an 18.8 s first-loop compile because the correction
+    ran as ~10 eager ops that only traced when a loop first verified).
+    The host reads back ONE packed (12,) stats vector — the previous
+    host-orchestrated pass paid 3-5 blocking device round-trips per job
+    (~100-250 ms over a tunneled chip) for its `float()`/`bool()` gates.
+
+    Returns (kf_pose, pt_xyz, pt_adjusted, T_rel, stats) with stats =
+    [ba_rmse, ba_nobs, n_dropped, cand_ok, cand_idx, cand_score,
+     closed, ver_inliers, ver_nmatches, ver_ok, t_err_m, r_err_rad].
+    """
+    P = m.capacity_pt
+    if run_ba:
+        w = cfg.ba.window
+        idx, valid = smap.local_window(m, 2 * w)
+        free = jnp.arange(2 * w) >= w
+        # the windowed solve compacts to the window's observed points
+        # (~8x less scatter/HBM than the full 16k table)
+        res = ba_mod._windowed_single(
+            m.kf_pose[idx], valid, m.pt_xyz,
+            m.kp_uv[idx], m.kp_pts[idx][..., 2],
+            m.point_id[idx],
+            m.kp_ok[idx] & valid[:, None],
+            cfg.camera, cfg.ba, free,
         )
-    return ok
+        poses = m.kf_pose.at[idx].set(
+            jnp.where(valid[:, None, None], res.kf_pose, m.kf_pose[idx])
+        )
+        # pt_solved is the solve's own compact selection (NOT the raw
+        # observation grid: overflow points beyond the window budget are
+        # excluded and must not be merged back as "adjusted")
+        pt_adjusted = res.pt_solved
+        ba_stats = (res.rmse_px, res.n_obs.astype(jnp.float32),
+                    res.n_dropped.astype(jnp.float32))
+        m = m.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
+    else:
+        pt_adjusted = jnp.zeros((P,), bool)
+        ba_stats = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+
+    cand = loop_mod.find_loop_candidate(
+        m, kf_idx,
+        min_interval=cfg.ba.loop_min_interval,
+        min_score=cfg.ba.loop_min_score,
+    )
+    do_verify = cand.ok & allow_loop
+
+    def with_loop(mm):
+        ver = loop_mod.verify_loop(mm, kf_idx, cand.kf_idx)
+        # consistency gate: accept a verified edge only if its discrepancy
+        # against the current pose estimates is within plausible
+        # accumulated drift — geometric verification can pass aliased
+        # match sets in self-similar scenes, and one inconsistent edge
+        # with pose-graph weight 5 destroys the whole trajectory.
+        Ti = jnp.take(mm.kf_pose, cand.kf_idx, axis=0)
+        Tj = jnp.take(mm.kf_pose, kf_idx, axis=0)
+        resid = se3.log(se3.inverse(ver.T_rel) @ se3.inverse(Ti) @ Tj)
+        t_err = jnp.linalg.norm(resid[:3])
+        r_err = jnp.linalg.norm(resid[3:])
+        consistent = (
+            jnp.all(jnp.isfinite(resid))
+            & (t_err <= cfg.ba.loop_max_residual_t)
+            & (r_err <= jnp.deg2rad(cfg.ba.loop_max_residual_deg))
+        )
+        closed = ver.ok & consistent
+
+        def run_pg(mm2):
+            edges2, _ = edges.add(
+                n_edges, cand.kf_idx, kf_idx, ver.T_rel, weight=5.0
+            )
+            pg = pg_mod.optimize_pose_graph(
+                mm2.kf_pose, mm2.kf_valid, edges2,
+                iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
+            )
+            # Map points ride with their anchor (first-observing)
+            # keyframe: X -> T_new[a] T_old[a]^-1 X. Correcting only the
+            # keyframe poses leaves the structure where the PRE-loop
+            # trajectory put it, and every later association and BA pass
+            # then fights the bent trajectory (measured as WORSE ATE with
+            # more loop closures).
+            anchor = jnp.clip(mm2.pt_first_kf, 0, mm2.capacity_kf - 1)
+            T_old_a = mm2.kf_pose[anchor]  # (P, 4, 4)
+            delta = jnp.einsum(
+                "pij,pjk->pik", pg.poses[anchor],
+                jax.vmap(se3.inverse)(T_old_a),
+            )
+            pt_new = (
+                jnp.einsum("pij,pj->pi", delta[:, :3, :3], mm2.pt_xyz)
+                + delta[:, :3, 3]
+            )
+            pt_out = jnp.where(mm2.pt_valid[:, None], pt_new, mm2.pt_xyz)
+            return pg.poses, pt_out
+
+        kf_pose2, pt2 = jax.lax.cond(
+            closed, run_pg, lambda mm2: (mm2.kf_pose, mm2.pt_xyz), mm
+        )
+        vstat = jnp.stack([
+            closed.astype(jnp.float32), ver.inliers.astype(jnp.float32),
+            ver.n_matches.astype(jnp.float32), ver.ok.astype(jnp.float32),
+            t_err, r_err,
+        ])
+        return kf_pose2, pt2, ver.T_rel, vstat
+
+    def without_loop(mm):
+        return (mm.kf_pose, mm.pt_xyz, jnp.eye(4, dtype=mm.kf_pose.dtype),
+                jnp.zeros((6,), jnp.float32))
+
+    kf_pose, pt_xyz, T_rel, vstat = jax.lax.cond(
+        do_verify, with_loop, without_loop, m
+    )
+    pt_adjusted = pt_adjusted | ((vstat[0] > 0.5) & m.pt_valid)
+    stats = jnp.concatenate([
+        jnp.stack([
+            ba_stats[0], ba_stats[1], ba_stats[2],
+            cand.ok.astype(jnp.float32), cand.kf_idx.astype(jnp.float32),
+            cand.score,
+        ]),
+        vstat,
+    ])
+    return kf_pose, pt_xyz, pt_adjusted, T_rel, stats
 
 
 def backend_pass(
@@ -116,106 +228,38 @@ def backend_pass(
     attempt (candidate -> geometric verification -> pose graph). Pure in
     the snapshot; the caller merges the result (`SLAMSession._apply_backend`).
 
-    `n_kf` is the host-mirrored keyframe count; -1 falls back to a device
-    read (a blocking round-trip — callers on the hot path pass it).
+    One fused device dispatch (`_backend_program`) + one host fetch of the
+    packed stats vector. `n_kf` is the host-mirrored keyframe count; -1
+    falls back to a device read (a blocking round-trip — callers on the
+    hot path pass it).
     """
     t0 = time.monotonic()
     if n_kf < 0:
         n_kf = int(m.n_kf)
-    out = BackendResult(
-        snap_kf_idx=kf_idx,
-        kf_pose=m.kf_pose,
-        pt_xyz=m.pt_xyz,
-        pt_adjusted=jnp.zeros((m.capacity_pt,), bool),
+    kf_pose, pt_xyz, pt_adjusted, T_rel, stats = _backend_program(
+        m, edges, n_edges, jnp.int32(kf_idx),
+        jnp.asarray(allow_loop, bool), cfg=cfg, run_ba=n_kf >= 3,
     )
-
-    # ---- local BA over the sliding window (free recent half, fixed
-    # older observers — see session docstring) ------------------------------
-    res = None
-    if n_kf >= 3:
-        w = cfg.ba.window
-        idx, valid = smap.local_window(m, 2 * w)
-        free = jnp.arange(2 * w) >= w
-        # windowed_local_ba compacts the solve to the window's observed
-        # points (~8x less scatter/HBM than the full 16k table — the
-        # difference between a ~600 ms and a sub-100 ms backend pass on
-        # v5e, i.e. whether BA fits between keyframes at 30 fps)
-        res = ba_mod.windowed_local_ba(
-            m.kf_pose[idx], valid, m.pt_xyz,
-            m.kp_uv[idx], m.kp_pts[idx][..., 2],
-            m.point_id[idx],
-            m.kp_ok[idx] & valid[:, None],
-            cfg.camera, cfg.ba, free_mask=free,
-            dispatch_iters=cfg.ba.dispatch_iters or None,
+    s = np.asarray(stats)  # the ONE blocking device->host fetch
+    out = BackendResult(
+        snap_kf_idx=kf_idx, kf_pose=kf_pose, pt_xyz=pt_xyz,
+        pt_adjusted=pt_adjusted, ba_rmse=float(s[0]),
+    )
+    if int(s[2]):
+        log.info("BA window point budget overflow: %d points excluded", int(s[2]))
+    if s[6] > 0.5:  # closed
+        out.loop_edge = (int(s[4]), kf_idx, T_rel, 5.0)
+        out.loop_closed = True
+        log.info(
+            "loop closed: KF%d -> KF%d (%d inliers)",
+            kf_idx, int(s[4]), int(s[7]),
         )
-        poses = m.kf_pose.at[idx].set(
-            jnp.where(valid[:, None, None], res.kf_pose, m.kf_pose[idx])
+    elif s[9] > 0.5:  # verified but rejected by the consistency gate
+        log.warning(
+            "loop edge KF%d -> KF%d rejected by consistency gate "
+            "(t %.2f m, rot %.1f deg)",
+            int(s[4]), kf_idx, float(s[10]), float(np.rad2deg(s[11])),
         )
-        out.kf_pose = poses
-        out.pt_xyz = res.pt_xyz
-        # the solve's own compact selection (NOT the raw observation grid:
-        # overflow points beyond the window budget are excluded and must
-        # not be merged back as "adjusted")
-        out.pt_adjusted = res.pt_solved
-        m = m.replace(kf_pose=poses, pt_xyz=res.pt_xyz)
-
-    # ---- loop closure ------------------------------------------------------
-    # Candidate detection is ENQUEUED before the BA scalars are fetched:
-    # the worker then blocks on the device queue once for BA stats and
-    # candidate gating together, instead of two round-trips serialized
-    # behind the frontend's in-flight frames.
-    cand = None
-    if allow_loop and n_kf > cfg.ba.loop_min_interval:
-        cand = loop_mod.find_loop_candidate(
-            m, jnp.int32(kf_idx),
-            min_interval=cfg.ba.loop_min_interval,
-            min_score=cfg.ba.loop_min_score,
-        )
-    if res is not None:
-        out.ba_rmse = float(res.rmse_px)
-        n_drop = int(res.n_dropped)
-        if n_drop:
-            log.info("BA window point budget overflow: %d points excluded", n_drop)
-    if cand is not None:
-        if bool(cand.ok):
-            ver = loop_mod.verify_loop(m, jnp.int32(kf_idx), cand.kf_idx)
-            if bool(ver.ok) and _loop_consistent(m, cand.kf_idx, kf_idx, ver.T_rel, cfg):
-                # tentative edge cand -> query for the pose graph
-                edges2, n_edges2 = edges.add(
-                    n_edges, int(cand.kf_idx), kf_idx, ver.T_rel, weight=5.0
-                )
-                pg = pg_mod.optimize_pose_graph(
-                    m.kf_pose, m.kf_valid, edges2,
-                    iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
-                )
-                # Map points ride with their anchor (first-observing)
-                # keyframe: X -> T_new[a] T_old[a]^-1 X. Correcting only
-                # the keyframe poses leaves the structure where the
-                # PRE-loop trajectory put it, and every later association
-                # and BA pass then fights the bent trajectory (measured
-                # as WORSE ATE with more loop closures).
-                anchor = jnp.clip(m.pt_first_kf, 0, m.capacity_kf - 1)
-                T_old_a = m.kf_pose[anchor]  # (P, 4, 4)
-                delta = jnp.einsum(
-                    "pij,pjk->pik", pg.poses[anchor],
-                    jax.vmap(se3.inverse)(T_old_a),
-                )
-                pt_new = (
-                    jnp.einsum("pij,pj->pi", delta[:, :3, :3], m.pt_xyz)
-                    + delta[:, :3, 3]
-                )
-                out.pt_xyz = jnp.where(
-                    m.pt_valid[:, None], pt_new, m.pt_xyz
-                )
-                out.pt_adjusted = out.pt_adjusted | m.pt_valid
-                out.kf_pose = pg.poses
-                out.loop_edge = (int(cand.kf_idx), kf_idx, ver.T_rel, 5.0)
-                out.loop_closed = True
-                log.info(
-                    "loop closed: KF%d -> KF%d (%d inliers)",
-                    kf_idx, int(cand.kf_idx), int(ver.inliers),
-                )
-
     out.backend_ms = (time.monotonic() - t0) * 1e3
     return out
 

@@ -123,6 +123,20 @@ class ICPConfig:
     # equations into the Pallas kernel (`ops/icp_pallas.py`) on TPU and
     # keeps the XLA roll-stencil elsewhere; "xla" / "pallas" force a path.
     backend: str = "auto"
+    # Multi-hypothesis initialization: the coarsest level is solved from
+    # each of {motion prior, identity, reversed prior} and the best (most
+    # inliers) seeds the finer levels. The constant-velocity prior is
+    # exactly wrong when motion reverses (a sweep turnaround) and
+    # poisonous after a bad solve; the identity hypothesis is always
+    # within one frame's motion of the truth, so the cascade where one
+    # diverged solve corrupts every following prior cannot start. 0 or 1
+    # disables (prior only); 2 = prior+identity; 3 adds the reversed prior.
+    hypotheses: int = 3
+    # Per-frame motion sanity clamp (metres): a solve whose translation
+    # step exceeds this is physically impossible at sensor rate and is
+    # rejected — the pose holds (identity step) and the motion prior
+    # resets, instead of feeding a diverged estimate into the next frame.
+    max_step_m: float = 0.25
 
 
 @dataclass(frozen=True)
@@ -162,13 +176,13 @@ class BAConfig:
     window: int = 8  # keyframes in the local window
     max_points_per_window: int = 2048
     iters: int = 5
-    # LM iterations per backend device dispatch (0 = whole solve as one
-    # program; k = ceil(iters/k) separate dispatches with LM state carried
-    # — identical math, bounds frontend tail latency by one chunk when the
-    # solve is long). Default single-program: with the LU custom call
-    # replaced by the closed-form 3x3 inverse the whole windowed solve
-    # fuses to ~0.7 ms on v5e, cheaper than the chunks' per-dispatch
-    # overhead it was hiding.
+    # LM iterations per device dispatch for DIRECT `windowed_local_ba`
+    # calls (0 = whole solve as one program; k = ceil(iters/k) separate
+    # dispatches with LM state carried — identical math). The backend
+    # worker itself always runs the fused single-dispatch
+    # `_backend_program` (BA + loop + pose graph in one program, one
+    # stats fetch): the whole windowed solve is ~0.7 ms on v5e, so
+    # chunking would only add per-dispatch overhead.
     dispatch_iters: int = 0
     huber_delta_px: float = 2.0
     # Observations with residual above this are hard-dropped each iteration

@@ -45,6 +45,11 @@ class MapState:
     kp_pts: jax.Array  # (M, K, 3) camera-frame 3D
     kp_ok: jax.Array  # (M, K) bool — has valid depth + detection
     kp_signs: jax.Array  # (M, K, 256) int8 descriptors
+    # (M, 256) L2-normalized mean-of-signs place signature per keyframe,
+    # maintained incrementally on insert: recomputing it from kp_signs on
+    # every loop-candidate query streams the whole (M, K, 256) descriptor
+    # store (~100 MB as f32) per backend pass; one row per insert is free.
+    kf_sig: jax.Array
     # --- map points --------------------------------------------------------
     pt_xyz: jax.Array  # (P, 3) world positions
     pt_signs: jax.Array  # (P, 256) int8 representative descriptor
@@ -80,6 +85,7 @@ def empty_map(cfg: KeyframeConfig, n_keypoints: int) -> MapState:
         kp_pts=jnp.zeros((M, K, 3), jnp.float32),
         kp_ok=jnp.zeros((M, K), bool),
         kp_signs=jnp.zeros((M, K, 256), jnp.int8),
+        kf_sig=jnp.zeros((M, 256), jnp.float32),
         pt_xyz=jnp.zeros((P, 3), jnp.float32),
         pt_signs=jnp.zeros((P, 256), jnp.int8),
         pt_nobs=jnp.zeros((P,), jnp.int32),
@@ -190,6 +196,16 @@ def insert_keyframe(
     shared = jnp.where(m.kf_valid, shared, 0)
     covis = m.covis.at[idx, :].set(shared).at[:, idx].set(shared)
 
+    # place signature of this keyframe (see MapState.kf_sig)
+    sig_w = kp_ok.astype(jnp.float32)[:, None]
+    sig_mean = jnp.sum(kp_signs.astype(jnp.float32) * sig_w, axis=0) / jnp.maximum(
+        jnp.sum(sig_w), 1.0
+    )
+    sig_norm = jnp.linalg.norm(sig_mean)
+    kf_sig_row = jnp.where(
+        sig_norm > 1e-6, sig_mean / jnp.maximum(sig_norm, 1e-6), 0.0
+    )
+
     def write(mst: MapState) -> MapState:
         return mst.replace(
             kf_pose=mst.kf_pose.at[idx].set(T_world_cam),
@@ -200,6 +216,7 @@ def insert_keyframe(
             kp_pts=mst.kp_pts.at[idx].set(kp_pts),
             kp_ok=mst.kp_ok.at[idx].set(kp_ok),
             kp_signs=mst.kp_signs.at[idx].set(kp_signs),
+            kf_sig=mst.kf_sig.at[idx].set(kf_sig_row),
             pt_xyz=pt_xyz,
             pt_signs=pt_signs,
             pt_valid=pt_valid,

@@ -284,11 +284,10 @@ def icp_align(
     first). Returns T mapping source-camera coordinates into target-camera
     coordinates (i.e. the relative pose of source expressed in target).
     """
-    T = T_init
     levels = len(src_pyr)
-    inliers = jnp.int32(0)
-    sq_sum = jnp.float32(0.0)
-    for k in range(levels - 1, -1, -1):  # coarse -> fine (static unroll)
+
+    def run_level(T, inliers, sq_sum, k):
+        """All GN iterations of pyramid level k (static unroll per level)."""
         level_cam = cam.scaled(2.0**k)
         level = _pack_level(src_pyr[k], tgt_pyr[k])
         # iters/window tuples are coarse -> fine: index 0 = coarsest level.
@@ -354,7 +353,34 @@ def icp_align(
                 T_new, inl, ss = _gn_step(T, level, level_cam, cfg, radius)
                 return (T_new, inl, ss)
 
-        T, inliers, sq_sum = jax.lax.fori_loop(0, n_iters, body, (T, inliers, sq_sum))
+        return jax.lax.fori_loop(0, n_iters, body, (T, inliers, sq_sum))
+
+    # Coarsest level: multi-hypothesis initialization (see
+    # `ICPConfig.hypotheses`). Each candidate runs the full coarse solve;
+    # the one with most inliers seeds the finer levels. The identity
+    # hypothesis bounds the damage of a wrong prior (sweep turnaround,
+    # post-divergence garbage) to ONE level's extra work instead of a
+    # multi-frame tracking cascade.
+    k0 = levels - 1
+    n_hyp = min(max(cfg.hypotheses, 1), 3)
+    if n_hyp > 1:
+        cands = [
+            T_init,
+            jnp.eye(4, dtype=T_init.dtype),
+            se3.normalize_rotation(se3.inverse(T_init)),
+        ][:n_hyp]
+        outs = [run_level(c, jnp.int32(0), jnp.float32(0.0), k0) for c in cands]
+        inl_stack = jnp.stack([o[1] for o in outs])
+        best = jnp.argmax(inl_stack)
+        T = jnp.take(jnp.stack([o[0] for o in outs]), best, axis=0)
+        inliers = jnp.take(inl_stack, best)
+        sq_sum = jnp.take(jnp.stack([o[2] for o in outs]), best)
+    else:
+        T, inliers, sq_sum = run_level(
+            T_init, jnp.int32(0), jnp.float32(0.0), k0
+        )
+    for k in range(levels - 2, -1, -1):  # remaining levels coarse -> fine
+        T, inliers, sq_sum = run_level(T, inliers, sq_sum, k)
 
     valid_src = jnp.sum(src_pyr[0]["valid"])
     rmse = jnp.sqrt(sq_sum / jnp.maximum(inliers, 1))
@@ -386,5 +412,17 @@ def track_frame(
     T_world_curr = T_world_prev @ T_prev_curr.
     """
     res = icp_align(curr_pyr, prev_pyr, T_motion_prior, cam, cfg)
-    T_world_curr = se3.normalize_rotation(T_world_prev @ res.T)
-    return T_world_curr, res.T, res
+    # Motion sanity clamp: a step beyond `max_step_m` is physically
+    # impossible at sensor rate — reject it (identity step, zeroed
+    # quality so the session flags the frame) rather than integrate a
+    # diverged solve AND feed it to the next frame as the motion prior
+    # (the mechanism behind multi-frame tracking cascades).
+    dt = jnp.linalg.norm(res.T[:3, 3])
+    ok_step = (dt <= cfg.max_step_m) & jnp.all(jnp.isfinite(res.T))
+    T_rel = jnp.where(ok_step, res.T, jnp.eye(4, dtype=res.T.dtype))
+    res = res._replace(
+        T=T_rel,
+        valid_fraction=jnp.where(ok_step, res.valid_fraction, 0.0),
+    )
+    T_world_curr = se3.normalize_rotation(T_world_prev @ T_rel)
+    return T_world_curr, T_rel, res

@@ -110,6 +110,83 @@ def _steady_step(
     return pyr, T_world, motion, summary, buf_T, buf_kfT
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _kf_insert_jit(
+    m, edges, n_edges, kp_uv, signs, pts, ok, T_pose, ts,
+    prev_kf_idx, kf_idx, cfg,
+):
+    """The whole keyframe-insert device stage as ONE program: map
+    association (two-tier gated match), keyframe/point insertion, the
+    odometry edge, and point culling. The host path used to dispatch
+    these as 3 jit calls plus ~12 eager ops (edge math, pose gathers) —
+    each eager dispatch costs ~0.2-0.5 ms on a remote-tunneled chip and
+    serializes against the async backend's programs.
+
+    `prev_kf_idx < 0` (bootstrap keyframe) skips the association and the
+    odometry edge via `jnp.where` — one compiled variant for both cases.
+    """
+    kcfg = cfg.keyframes
+    has_map = prev_kf_idx >= 0
+    match_pid = smap.match_against_map(
+        m, signs, ok, kp_uv, pts[:, 2], T_pose,
+        cam=cfg.camera,
+        max_distance=float(cfg.orb.match_threshold),
+        kp_pts=pts,
+        merge_radius=kcfg.merge_radius,
+    )
+    match_pid = jnp.where(has_map, match_pid, -1)
+    m = smap.insert_keyframe(m, T_pose, ts, kp_uv, pts, ok, signs, match_pid)
+    last_kf_T = jnp.take(m.kf_pose, kf_idx, axis=0)
+
+    # odometry edge between consecutive keyframes
+    T_prev = jnp.take(m.kf_pose, jnp.maximum(prev_kf_idx, 0), axis=0)
+    T_rel = se3.inverse(T_prev) @ T_pose
+    edges2, n_edges2 = edges.add(n_edges, prev_kf_idx, kf_idx, T_rel, 1.0)
+    edges = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(has_map, a, b), edges2, edges
+    )
+    n_edges = jnp.where(has_map, n_edges2, n_edges)
+
+    # map maintenance BEFORE the backend snapshot, so BA never optimizes
+    # doomed points
+    n_culled = jnp.int32(0)
+    if kcfg.cull_min_obs > 0:
+        m, n_culled = smap.cull_points(
+            m, kf_idx,
+            min_obs=kcfg.cull_min_obs, max_age_kf=kcfg.cull_max_age_kf,
+        )
+    return m, edges, n_edges, last_kf_T, n_culled
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _reloc_jit(m, signs, ok, pts, T_est, cfg):
+    """Relocalization solve as one program: map-wide descriptor match,
+    3D-3D IRLS solve, consensus gate, and the implied rigid correction
+    C = T_fixed T_est^-1 — the host reads back ONE (4,) stats vector
+    [accept, inliers, n_valid, |t(C)|] instead of three separate scalars."""
+    from slam_rgbd_tpu.features.pose3d import solve_pose3d
+
+    mt = fmatch.match(
+        signs, ok, m.pt_signs.astype(jnp.int8), m.pt_valid,
+        max_distance=float(cfg.orb.match_threshold),
+    )
+    target = m.pt_xyz[mt.idx2]
+    res = solve_pose3d(pts, target, mt.valid & ok, iters=8)
+    # consensus gate, like loop verification: a relocalization that
+    # explains under half of its own matches is an aliased solution
+    # (repeated texture), and accepting it teleports the trajectory
+    accept = res.ok & (res.inliers >= 0.5 * res.n_valid.astype(jnp.float32))
+    T_fixed = se3.normalize_rotation(res.T)
+    C = T_fixed @ se3.inverse(T_est)
+    stats = jnp.stack([
+        accept.astype(jnp.float32),
+        res.inliers.astype(jnp.float32),
+        res.n_valid.astype(jnp.float32),
+        jnp.linalg.norm(C[:3, 3]),
+    ])
+    return T_fixed, C, stats
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _traj_append(buf_T, buf_kfT, i, T, kfT):
     """Scatter one frame's (pose, reference-KF pose) into the device-side
@@ -224,6 +301,21 @@ class SLAMSession:
         self._frame_i = 0
         self._last_kf_frame_i = -(10 ** 9)
         self._last_loop_kf = -(10 ** 9)
+        # Frames DISPATCHED before the newest keyframe insert resolved
+        # carry a keyframe decision computed against the pre-insert
+        # reference pose — acting on it re-triggers the same
+        # motion-threshold crossing and churns a keyframe every
+        # `kf_min_gap_frames` (the round-3 bench inserted 84 KFs in 240
+        # frames this way). Their stale decisions are suppressed; the
+        # criterion re-fires on the first post-insert frame if motion
+        # genuinely warrants it.
+        self._kf_ref_fresh_from = 0
+        # Consecutive low-quality frames; relocalization is attempted on
+        # the 1st and then every 4th (a reloc is features + map-wide match
+        # + a blocking fetch — per-frame attempts during a degraded streak
+        # stack ~100 ms stalls that MAKE the streak, and the odometry
+        # fallback is usually within centimetres anyway).
+        self._lost_streak = 0
         # Loop-merge generation: bumped when a loop-closure result merges
         # (the pose graph rewrites every keyframe). Backend jobs are
         # stamped with it at submit; a job or result from an older
@@ -257,37 +349,28 @@ class SLAMSession:
         cfg = self.cfg
         cam = cfg.camera
 
-        # ---- backend solvers first: the async worker would otherwise race
-        # a duplicate compile of the same BA executables during the
-        # frontend warmup below.
-        from slam_rgbd_tpu.backend import ba as ba_mod
-        from slam_rgbd_tpu.backend import loop as loop_mod
-
-        W = 2 * cfg.ba.window
-        K = self._kp_capacity()
+        # ---- backend program first: the async worker would otherwise race
+        # a duplicate compile of the same executables during the frontend
+        # warmup below. ONE call to the fused `_backend_program` compiles
+        # the full closed set — BA, candidate search, verification, the
+        # consistency gate, pose graph, and the per-anchor point
+        # correction all live under `lax.cond`, whose branches compile
+        # regardless of the runtime predicate (the round-3 bench hit an
+        # 18.8 s first-loop compile stall because the correction only
+        # traced when a loop first VERIFIED, mid-timed-run).
         P = cfg.keyframes.max_map_points
-        poses = jnp.tile(jnp.eye(4), (W, 1, 1))
-        valid = jnp.ones((W,), bool)
-        free = jnp.arange(W) >= cfg.ba.window
-        res = ba_mod.windowed_local_ba(
-            poses, valid, jnp.zeros((P, 3)), jnp.zeros((W, K, 2)),
-            jnp.zeros((W, K)), jnp.full((W, K), -1, jnp.int32),
-            jnp.zeros((W, K), bool), cam, cfg.ba, free_mask=free,
-            dispatch_iters=cfg.ba.dispatch_iters or None,
+        r0 = bworker.backend_pass(
+            self.map, self.edges, self.n_edges, 0, cfg, n_kf=0,
+            allow_loop=True,
         )
-        jax.block_until_ready(res.kf_pose)
-        cand = loop_mod.find_loop_candidate(
-            self.map, jnp.int32(0),
-            min_interval=cfg.ba.loop_min_interval,
-            min_score=cfg.ba.loop_min_score,
+        r1 = bworker.backend_pass(
+            self.map, self.edges, self.n_edges, 0, cfg, n_kf=3,
+            allow_loop=True,
         )
-        ver = loop_mod.verify_loop(self.map, jnp.int32(0), cand.kf_idx)
+        jax.block_until_ready((r0.kf_pose, r1.kf_pose))
+        # loop-edge append at merge time (weight-5 edge, traced indices)
         e2, _n2 = self.edges.add(self.n_edges, 0, 1, jnp.eye(4), 5.0)
-        pg = pg_mod.optimize_pose_graph(
-            self.map.kf_pose, self.map.kf_valid, e2,
-            iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
-        )
-        jax.block_until_ready((ver.T_rel, pg.poses))
+        jax.block_until_ready(e2.T_meas)
 
         # ---- frontend on a textured sloped plane: valid geometry + FAST
         # corners without rendering (no extra raycast compile).
@@ -433,27 +516,25 @@ class SLAMSession:
         e.st.icp_rmse = rmse
         e.st.tracking_ok = vf > 0.25 and finite > 0.5
 
+        force_insert = False
         if not e.st.tracking_ok:
             self.state.lost += 1
+            self._lost_streak += 1
+            if self._lost_streak != 1 and self._lost_streak % 4 != 0:
+                # odometry-only fallback between rate-limited reloc tries
+                log.warning(
+                    "tracking degraded at t=%.3f (inliers %.2f) — "
+                    "integrating odometry", e.ts, vf,
+                )
+                return
             log.warning(
                 "tracking lost at t=%.3f (inliers %.2f) — relocalizing", e.ts, vf
             )
-            T_fixed = self._relocalize(e.depth_raw, e.rgb)
-            if T_fixed is not None:
-                # plausibility bound on the correction: a single lost
-                # frame can only be centimetres off, so a relocalization
-                # demanding a metre-scale jump is an aliased solve —
-                # safer to keep integrating odometry than to teleport
-                C = T_fixed @ se3.inverse(e.T)
-                C_t = float(np.linalg.norm(np.asarray(C)[:3, 3]))
-                if C_t > 1.0:
-                    log.warning(
-                        "relocalization rejected: implied %.2f m jump", C_t
-                    )
-                    T_fixed = None
+            T_fixed, C = self._relocalize(e.depth_raw, e.rgb, T_est=e.T)
             if T_fixed is not None:
                 self.state.relocalized += 1
                 e.st.tracking_ok = True
+                self._lost_streak = 0
                 self.motion = jnp.eye(4)
                 # rigid correction from the lost frame's estimate; applies
                 # to the live pose, every frame logged since, and every
@@ -466,13 +547,20 @@ class SLAMSession:
                 for later in self._pending:
                     later.T = C @ later.T
                 should = 1.0 if self._should_insert(vf) else 0.0
+                force_insert = should > 0.5  # decision is already fresh
             # on failed reloc we keep integrating (odometry-only fallback)
+        else:
+            self._lost_streak = 0
 
         gap_ok = (
             e.frame_i - self._last_kf_frame_i
             >= self.cfg.keyframes.kf_min_gap_frames
         )
-        if e.st.tracking_ok and should > 0.5 and gap_ok:
+        # suppress keyframe decisions computed against a stale reference
+        # pose (dispatched before the newest insert resolved) — see
+        # `_kf_ref_fresh_from` in __init__
+        fresh = e.frame_i >= self._kf_ref_fresh_from or force_insert
+        if e.st.tracking_ok and should > 0.5 and gap_ok and fresh:
             e.st.is_keyframe = True
             self._last_kf_frame_i = e.frame_i
             kf_stats = self._insert_keyframe(e.ts, e.depth_raw, e.rgb, e.T)
@@ -552,58 +640,24 @@ class SLAMSession:
             return out
         kp, desc, pts, ok = self._features(depth_raw, rgb)
 
-        # associate against the map (reprojection + depth gates, plus the
-        # 3D merge tier that suppresses duplicate-point spawns). Uses
-        # T_pose — the KEYFRAME's own pose estimate — NOT the live
-        # T_world: under decision pipelining the live pose has advanced up
-        # to max_decision_lag frames (~10 cm / 5 deg) past this frame, and
-        # inserting/associating at the advanced pose biased every map
-        # keyframe, association gate, and odometry edge by the lag.
-        if self._n_kf_host > 0:
-            match_pid = smap.match_against_map(
-                self.map, desc.signs, ok, kp.uv, pts[:, 2], T_pose,
-                cam=self.cfg.camera,
-                max_distance=float(self.cfg.orb.match_threshold),
-                kp_pts=pts,
-                merge_radius=self.cfg.keyframes.merge_radius,
-            )
-        else:
-            match_pid = jnp.full((pts.shape[0],), -1, jnp.int32)
-
+        # The rest of the device stage — map association (two-tier gated
+        # match at T_pose, the KEYFRAME's own pose estimate — NOT the
+        # lag-advanced live T_world), insertion, the odometry edge, and
+        # culling — is ONE fused dispatch (`_kf_insert_jit`).
         prev_kf_idx = self.last_kf_idx
-        self.map = smap.insert_keyframe(
-            self.map, T_pose, jnp.float32(ts), kp.uv, pts, ok,
-            desc.signs, match_pid,
-        )
         kf_idx = self._n_kf_host
+        (self.map, self.edges, self.n_edges, self.last_kf_T,
+         _n_culled) = _kf_insert_jit(
+            self.map, self.edges, self.n_edges, kp.uv, desc.signs, pts, ok,
+            T_pose, jnp.float32(ts), np.int32(prev_kf_idx),
+            np.int32(kf_idx), self.cfg,
+        )
         self._n_kf_host += 1
         self.last_kf_idx = kf_idx
-        # dynamic-index gathers (jnp.take with an ARRAY index): a Python-int
-        # `kf_pose[kf_idx]` bakes the index into the executable and forces a
-        # fresh XLA compile per keyframe slot — seconds each on a
-        # remote-compile TPU
-        self.last_kf_T = jnp.take(self.map.kf_pose, jnp.int32(kf_idx), axis=0)
+        # frames already dispatched used the previous reference keyframe —
+        # their (in-flight) keyframe decisions are stale from here on
+        self._kf_ref_fresh_from = self._frame_i
         self.state.keyframes += 1
-
-        # odometry edge between consecutive keyframes (T_pose, not the
-        # lag-advanced live pose — see the association comment above)
-        if prev_kf_idx >= 0:
-            T_prev = jnp.take(self.map.kf_pose, jnp.int32(prev_kf_idx), axis=0)
-            T_rel = se3.inverse(T_prev) @ T_pose
-            self.edges, self.n_edges = self.edges.add(
-                self.n_edges, prev_kf_idx, kf_idx, T_rel, weight=1.0
-            )
-
-        # map maintenance: cull never-reobserved points; slots recycle on
-        # the next insert (`mapping.map.cull_points`). Runs BEFORE the
-        # backend snapshot so BA never optimizes doomed points.
-        kcfg = self.cfg.keyframes
-        if kcfg.cull_min_obs > 0:
-            self.map, n_culled = smap.cull_points(
-                self.map, jnp.int32(kf_idx),
-                min_obs=kcfg.cull_min_obs, max_age_kf=kcfg.cull_max_age_kf,
-            )
-            out["culled"] = n_culled
 
         # backend: local BA + loop closure + pose graph — inline, or
         # handed to the worker thread (snapshot of the immutable map).
@@ -756,37 +810,35 @@ class SLAMSession:
             self.worker = None
 
     # ---------------------------------------------------------- reloc/reset
-    def _relocalize(self, depth_raw, rgb) -> Optional[jax.Array]:
+    def _relocalize(self, depth_raw, rgb, T_est=None):
         """Match the frame's features against all map points; solve 3D-3D.
 
-        Returns the relocalized camera-to-world pose, or None on failure —
-        the caller decides how to apply it (under decision pipelining the
-        live pose has advanced past the lost frame)."""
+        Returns `(T_fixed, C)` — the relocalized camera-to-world pose and
+        the rigid correction `C = T_fixed @ T_est^-1` — or `(None, None)`
+        on failure. One fused solve program (`_reloc_jit`) and ONE host
+        fetch of its packed gate scalars; the caller applies C (under
+        decision pipelining the live pose has advanced past the lost
+        frame). The plausibility bound lives here: a single lost frame can
+        only be centimetres off, so a relocalization demanding a
+        metre-scale jump is an aliased solve — safer to keep integrating
+        odometry than to teleport."""
         if self._n_kf_host == 0:
-            return None
+            return None, None
+        if T_est is None:
+            T_est = self.T_world
         kp, desc, pts, ok = self._features(depth_raw, rgb)
-        m = fmatch.match(
-            desc.signs, ok, self.map.pt_signs.astype(jnp.int8), self.map.pt_valid,
-            max_distance=float(self.cfg.orb.match_threshold),
+        T_fixed, C, stats = _reloc_jit(
+            self.map, desc.signs, ok, pts, T_est, self.cfg
         )
-        from slam_rgbd_tpu.features.pose3d import solve_pose3d
-
-        target = self.map.pt_xyz[m.idx2]
-        res = solve_pose3d(pts, target, m.valid & ok, iters=8)
-        # consensus gate, like loop verification: a relocalization that
-        # explains under half of its own matches is an aliased solution
-        # (repeated texture), and accepting it teleports the trajectory
-        ok_np = np.asarray(
-            (res.ok & (res.inliers >= 0.5 * res.n_valid.astype(jnp.float32)))
-        )
-        if bool(ok_np):
-            # res.T maps camera-frame pts onto world points => T_world_cam
-            log.info(
-                "relocalized with %d/%d inliers",
-                int(res.inliers), int(res.n_valid),
-            )
-            return se3.normalize_rotation(res.T)
-        return None
+        s = np.asarray(stats)  # the one blocking fetch
+        if s[0] < 0.5:
+            return None, None
+        if s[3] > 1.0:
+            log.warning("relocalization rejected: implied %.2f m jump", s[3])
+            return None, None
+        # res.T maps camera-frame pts onto world points => T_world_cam
+        log.info("relocalized with %d/%d inliers", int(s[1]), int(s[2]))
+        return T_fixed, C
 
     def reset(self):
         """Full system reset (`resetSlam` parity, `SLAM.cpp:220-228`)."""
