@@ -95,14 +95,17 @@ class ICPConfig:
     # Association search radius (pixels) per level, coarse -> fine: the
     # dense gather is evaluated as a bounded-displacement roll stencil
     # (TPU random gathers are ~100x slower than streaming); displacement
-    # beyond the radius is treated as association failure. Coarse levels
-    # get a wide radius (images are small), fine levels run after
-    # coarse alignment so residual flow is a few pixels. Tightening
-    # radii/iters below this schedule breaks on the hard section of the
-    # 240-frame bench orbit (tracking loss at t~7 s) even though an
-    # 80-frame sweep looks fine — the wide windows are load-bearing for
-    # fast motion, not tunable headroom (tools/sweep_icp.py).
-    window_px: tuple = (8, 4, 2)
+    # beyond the radius is treated as association failure. The stencil
+    # only has to cover flow VARIATION (the dominant flow is removed by a
+    # mean shift), but close-range structure makes that variation large:
+    # an object at 0.5 m moves ~19 px/frame at 640x480 while the far
+    # scene moves ~3 px, so a 2 px finest window collapsed association
+    # (inliers 0.02-0.25, the round-3 bench's 14-frame tracking cascade)
+    # whenever clutter came near. (8, 6, 4) holds min inliers ~0.65
+    # through that section (A/B on frames 138-175 of the sweep bench:
+    # (8,6,3) still loses 3 frames, (8,6,4) none); tightening below this
+    # is NOT tunable headroom.
+    window_px: tuple = (8, 6, 4)
     # Huber robust kernel width (metres) on the point-to-plane residual.
     huber_delta: float = 0.05
     # Association gates.

@@ -34,7 +34,7 @@ _WARNED_SLOW_PNG = False
 
 
 def _read_png(path: str) -> np.ndarray:
-    """Minimal PNG decoder: 8-bit RGB/gray and 16-bit gray, non-interlaced."""
+    """PNG decode: PIL when available, else the built-in decoder."""
     try:  # prefer a real decoder when available
         import PIL.Image  # type: ignore
 
@@ -47,11 +47,18 @@ def _read_png(path: str) -> np.ndarray:
 
             logging.getLogger("slam_rgbd_tpu.io.tum").warning(
                 "PIL not available — using the built-in pure-Python PNG "
-                "decoder; sub/average/paeth-filtered rows decode with a "
-                "per-byte loop (minutes for a long sequence). Install "
-                "Pillow for real-data runs."
+                "decoder (none/up/sub rows are fully vectorized; "
+                "average/paeth rows scan per pixel). Install Pillow for "
+                "long real-data runs."
             )
+    return _read_png_builtin(path)
 
+
+def _read_png_builtin(path: str) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit RGB/gray and 16-bit gray, non-interlaced.
+
+    Pure zlib + numpy, no image-library dependency (tested bit-identical
+    to PIL on the golden TUM frames in tests/data/tum_golden)."""
     with open(path, "rb") as f:
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n", f"not a PNG: {path}"
@@ -85,7 +92,9 @@ def _read_png(path: str) -> np.ndarray:
             pass
         elif ft == 2:  # up
             line = (line.astype(np.int32) + prev).astype(np.uint8)
-        elif ft in (1, 3, 4):  # sub / average / paeth need sequential scan
+        elif ft == 1:  # sub: per-byte-lane prefix sum (mod-256 cumsum)
+            line = _unfilter_sub(line, bpp)
+        elif ft in (3, 4):  # average / paeth: left-dependency, per-pixel scan
             line = _unfilter_scan(line, prev, bpp, ft)
         else:
             raise ValueError(f"bad filter {ft}")
@@ -102,22 +111,43 @@ def _read_png(path: str) -> np.ndarray:
     return img
 
 
+def _unfilter_sub(line: np.ndarray, bpp: int) -> np.ndarray:
+    """PNG 'sub' filter, vectorized: out[i] = (line[i] + out[i-bpp]) % 256
+    is a prefix sum over each of the bpp interleaved byte lanes, and mod
+    distributes over addition — one cumsum per row instead of a per-byte
+    Python loop."""
+    n = len(line)
+    lanes = line[: n - n % bpp].reshape(-1, bpp).astype(np.int64)
+    out = np.cumsum(lanes, axis=0) & 0xFF
+    return out.astype(np.uint8).reshape(-1)[:n]
+
+
 def _unfilter_scan(line: np.ndarray, prev: np.ndarray, bpp: int, ft: int) -> np.ndarray:
-    out = line.astype(np.int32)
-    p = prev.astype(np.int32)
-    for i in range(len(out)):
-        a = out[i - bpp] if i >= bpp else 0
+    """PNG 'average'/'paeth' filters: the left-neighbour dependency forces
+    a sequential scan, but only over PIXELS — the bpp byte lanes of each
+    pixel are independent and process as one numpy vector per step
+    (bpp x fewer Python iterations than the old per-byte loop)."""
+    n = len(line)
+    n_pix = n // bpp
+    out = line[: n_pix * bpp].reshape(n_pix, bpp).astype(np.int32)
+    p = prev[: n_pix * bpp].reshape(n_pix, bpp).astype(np.int32)
+    a = np.zeros(bpp, dtype=np.int32)  # left pixel (reconstructed)
+    c = np.zeros(bpp, dtype=np.int32)  # upper-left pixel
+    for i in range(n_pix):
         b = p[i]
-        c = p[i - bpp] if i >= bpp else 0
-        if ft == 1:
-            out[i] = (out[i] + a) & 0xFF
-        elif ft == 3:
+        if ft == 3:
             out[i] = (out[i] + ((a + b) >> 1)) & 0xFF
         else:  # paeth
-            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            pa = np.abs(b - c)
+            pb = np.abs(a - c)
+            pc = np.abs(a + b - 2 * c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
             out[i] = (out[i] + pred) & 0xFF
-    return out.astype(np.uint8)
+        a = out[i]
+        c = b
+    return out.astype(np.uint8).reshape(-1)[:n]
 
 
 # ------------------------------------------------------------------ TUM lists
