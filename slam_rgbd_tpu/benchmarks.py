@@ -185,6 +185,49 @@ def _time_device(fn, iters=100, trials=5):
     return best
 
 
+def _time_device_chain(body, init_fn, n_small=50, n_large=200, reps=3):
+    """Per-ITERATION device time of `body` via an on-device dependency
+    chain, with fixed per-call overheads removed by a two-point fit.
+
+    Host-side repeat timing is untrustworthy on this tunneled platform:
+    repeated dispatches of a pure program with unchanged operands can be
+    served without re-execution (the round-3 `hamming_top2` figures
+    ranged 0.3 us .. 435 us for the SAME kernel depending on dispatch
+    pattern — a >1000x spread that measured the transport, not the
+    chip). This harness (a) chains iterations inside ONE compiled
+    `fori_loop`, with every kernel output folded into the loop carry, so
+    no iteration can be elided or reordered, (b) calls the chain with
+    FRESH input values each rep, and (c) runs two chain lengths and
+    reports (wall_large - wall_small) / (n_large - n_small) — the pure
+    marginal cost per iteration, with compile, transfer, and dispatch
+    overheads cancelled.
+
+    `body(carry) -> carry` must consume every kernel output; `init_fn()`
+    must return a fresh carry per call.
+    """
+
+    def make(n):
+        @jax.jit
+        def chain(carry):
+            return jax.lax.fori_loop(0, n, lambda i, c: body(c), carry)
+
+        return chain
+
+    small, large = make(n_small), make(n_large)
+    jax.block_until_ready(small(init_fn()))  # compile both
+    jax.block_until_ready(large(init_fn()))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(small(init_fn()))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(large(init_fn()))
+        t_large = time.perf_counter() - t0
+        best = min(best, (t_large - t_small) / (n_large - n_small))
+    return max(best, 1e-9)
+
+
 def bench_kernels(cfg, frames):
     """Speed-of-light fractions for both Pallas kernels (BASELINE.md:33).
 
@@ -223,11 +266,23 @@ def bench_kernels(cfg, frames):
     scal = ip.pack_scalars(jnp.eye(4), jnp.float32(0), jnp.float32(0))
     srcp, tgtp = jax.device_put(srcp), jax.device_put(tgtp)
 
-    def run_gn():
-        H, g, inl, ss = ip.gn_reduce(scal, srcp, tgtp, cam, cfg.icp, radius, (h, w))
-        return H
+    rng0 = np.random.default_rng(7)
 
-    t_gn = _time_device(run_gn)
+    def gn_body(carry):
+        scal_c, acc = carry
+        H, g, inl, ss = ip.gn_reduce(
+            scal_c, srcp, tgtp, cam, cfg.icp, radius, (h, w)
+        )
+        # consume EVERY output; perturb the scalar pack with a
+        # data-dependent epsilon so no iteration can be elided
+        chk = jnp.sum(H) + jnp.sum(g) + ss + inl.astype(jnp.float32)
+        return (scal_c + 1e-12 * chk, acc + chk)
+
+    def gn_init():
+        eps = jnp.float32(rng0.uniform(0, 1e-6))
+        return (scal + eps, jnp.float32(0.0))
+
+    t_gn = _time_device_chain(gn_body, gn_init)
     gn_bytes = (srcp.size + tgtp.size) * 4
     n_terms = (2 * radius + 2) ** 2
     n_px = n_tiles * th * w_pad
@@ -251,11 +306,27 @@ def bench_kernels(cfg, frames):
     v1 = jnp.ones((K1,), bool)
     v2 = jnp.ones((K2,), bool)
 
-    def run_ham():
-        best, second, idx = hp.hamming_top2(s1, v1, s2, v2)
-        return best
+    def ham_body(carry):
+        s1_c, acc = carry
+        best, second, idx = hp.hamming_top2(s1_c, v1, s2, v2)
+        chk = jnp.sum(best) + jnp.sum(second) + jnp.sum(idx.astype(jnp.float32))
+        # data-dependent (always-zero) bump keeps the chain serialized
+        bump = ((best + second)[:, None] > jnp.float32(1e18)).astype(jnp.int8)
+        return (s1_c + bump, acc + chk)
 
-    t_h = _time_device(run_ham)
+    ham_starts = [
+        jax.device_put(
+            jnp.asarray(rng.choice([-1, 1], (K1, 256)).astype(np.int8))
+        )
+        for _ in range(8)
+    ]
+    ham_i = [0]
+
+    def ham_init():
+        ham_i[0] += 1
+        return (ham_starts[ham_i[0] % len(ham_starts)], jnp.float32(0.0))
+
+    t_h = _time_device_chain(ham_body, ham_init)
     # HBM traffic of the bf16 operands + tiny outputs; FLOPs of the matmul.
     ham_bytes = (K1 + K2) * 256 * 2 + K1 * 12
     ham_flops = 2 * K1 * K2 * 256
@@ -266,19 +337,26 @@ def bench_kernels(cfg, frames):
     # workload the session actually runs.
     from slam_rgbd_tpu.features.match import hamming_matrix
 
-    @jax.jit
-    def xla_top2(a, b):
-        d = hamming_matrix(a, b)
+    def xla_body(carry):
+        s1_c, acc = carry
+        d = hamming_matrix(s1_c, s2)
         neg, idx = jax.lax.top_k(-d, 2)
-        return -neg[:, 0], -neg[:, 1], idx[:, 0]
+        best, second = -neg[:, 0], -neg[:, 1]
+        chk = jnp.sum(best) + jnp.sum(second) + jnp.sum(
+            idx[:, 0].astype(jnp.float32)
+        )
+        bump = ((best + second)[:, None] > jnp.float32(1e18)).astype(jnp.int8)
+        return (s1_c + bump, acc + chk)
 
-    def run_xla():
-        best, second, idx = xla_top2(s1, s2)
-        return best
-
-    t_x = _time_device(run_xla)
+    t_x = _time_device_chain(xla_body, ham_init, n_small=10, n_large=40)
     out[f"hamming_top2_{K1}x{K2}"]["xla_us"] = round(t_x * 1e6, 1)
     out[f"hamming_top2_{K1}x{K2}"]["speedup_vs_xla"] = round(t_x / t_h, 2)
+    out["method"] = (
+        "on-device dependency chain, two-length linear fit (dispatch and "
+        "transfer overheads cancelled; host-side repeat timing on this "
+        "tunneled platform can elide re-execution and measured anywhere "
+        "from 0.3 to 435 us for the same kernel)"
+    )
     return {"kernel_sol": out}
 
 
@@ -387,6 +465,26 @@ def main():
     extras.update(bench_kernels(cfg, frames))
     _note("local-BA ms/iteration bench")
     extras.update(bench_ba(cfg))
+    _note("batch-scaling bench (B concurrent sequences on one chip)")
+    try:
+        from slam_rgbd_tpu.parallel.scaling import batch_scaling
+
+        extras["scaling"] = {
+            "hardware": jax.devices()[0].device_kind,
+            "batch_scaling_1chip": batch_scaling(
+                cfg.camera, cfg.icp, batches=(1, 2, 4, 8), iters=10
+            ),
+            "note": (
+                "B concurrent sequence-shards tracked on ONE chip — the "
+                "headroom a multi-chip data mesh scales against "
+                "(BASELINE.md:32). The >=70% 1-chip->2-hosts protocol "
+                "path itself (shard_map + jax.distributed) is validated "
+                "on the 8-virtual-device CPU mesh in CI (scaling_report, "
+                "labeled virtual-cpu)."
+            ),
+        }
+    except Exception as e:  # noqa: BLE001 — scaling must not sink the bench
+        extras["scaling"] = {"error": f"{type(e).__name__}: {e}"}
     _note("full-session bench (warmup pass compiles every path)")
     session = bench_session(cfg, frames, gt_poses=gt_poses)
     extras.update(session)

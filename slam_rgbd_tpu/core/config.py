@@ -256,8 +256,11 @@ class RuntimeConfig:
     # blocking in steady state); a frame's decisions are forced (blocking)
     # only once this many frames are in flight. On a local TPU the copy
     # lands within a frame; over a high-latency link the lag self-tunes
-    # up to this bound.
-    max_decision_lag: int = 8
+    # up to this bound. 12 frames rides out a keyframe burst (features +
+    # insert + backend pass ~80 ms of queued device work) without
+    # blocking the frontend; stale keyframe decisions from the deeper
+    # pipeline are suppressed by the session's fresh-reference gate.
+    max_decision_lag: int = 12
 
 
 @dataclass(frozen=True)

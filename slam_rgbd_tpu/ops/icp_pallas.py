@@ -205,26 +205,40 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
         # Column shift in the OUTER loop: one whole-window roll per du
         # ((2R+2) rolls total) — per-term rolls of the row slices blow up
         # the Mosaic compiler at image widths beyond one lane tile.
-        acc = jnp.zeros((10,) + shape, jnp.float32)
-        wsum = jnp.zeros(shape, jnp.float32)
-        win = scratch[slot]  # (10, span, w_pad)
-        w_pad = shape[1]
-        for du in range(-radius, radius + 2):
+        #
+        # Effective 1-D weights are PRECOMPUTED per offset with the bounds
+        # checks folded in — the bilinear weight is separable
+        # (wgt = wu_eff[du] * wv_eff[dv]), so the (2R+2)^2-term loop does
+        # one multiply + 10 channel-FMAs per term instead of re-deriving
+        # weights/bounds (~21 vector ops) every term; the weight sum is
+        # likewise the product of the two 1-D sums. ~40% fewer VPU ops in
+        # the kernel's dominant loop.
+        offs = list(range(-radius, radius + 2))
+        wu_eff = []
+        wv_eff = []
+        for du in offs:
             wu = jnp.maximum(0.0, 1.0 - jnp.abs(du_f - du))
             tu = tu_base + du
-            inb_u = (tu >= 0.0) & (tu < width)
+            wu_eff.append(jnp.where((tu >= 0.0) & (tu < width), wu, 0.0))
+        for dv in offs:
+            wv = jnp.maximum(0.0, 1.0 - jnp.abs(dv_f - dv))
+            tv = tv_base + dv
+            wv_eff.append(
+                jnp.where((tv >= 0.0) & (tv < height) & row_ok, wv, 0.0)
+            )
+        wsum = sum(wu_eff) * sum(wv_eff)
+
+        acc = jnp.zeros((10,) + shape, jnp.float32)
+        win = scratch[slot]  # (10, span, w_pad)
+        w_pad = shape[1]
+        for idu, du in enumerate(offs):
             # pltpu.roll wants a non-negative shift; wrap is gated out by
-            # the absolute-coordinate bounds check above.
+            # the absolute-coordinate bounds check folded into wu_eff.
             win_du = pltpu.roll(win, (-du) % w_pad, 2) if du else win
-            for dv in range(-radius, radius + 2):
-                wv = jnp.maximum(0.0, 1.0 - jnp.abs(dv_f - dv))
-                tv = tv_base + dv
-                wgt = jnp.where(
-                    inb_u & (tv >= 0.0) & (tv < height) & row_ok, wv * wu, 0.0
-                )
+            for idv, dv in enumerate(offs):
+                wgt = wu_eff[idu] * wv_eff[idv]
                 rows = win_du[:, rv + dv : rv + dv + th, :]
                 acc = acc + wgt[None] * rows
-                wsum = wsum + wgt
 
         # acc[6] IS the weighted validity sum (channel 6 = valid plane);
         # a separate vsum accumulator would be a redundant per-term FMA.

@@ -108,6 +108,11 @@ def batch_track(
     data_axis: str = "data",
 ):
     """Track B sequences concurrently, sharded over the `data` axis."""
+    import dataclasses
+
+    # batched tracking uses the XLA ICP backend (the fused Pallas kernel
+    # is single-problem; see `parallel.scaling.batch_scaling`)
+    cfg = dataclasses.replace(cfg, backend="xla")
     spec_tree = jax.tree_util.tree_map(lambda _: P(data_axis), src_pyrs)
 
     @functools.partial(

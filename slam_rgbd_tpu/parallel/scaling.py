@@ -66,11 +66,18 @@ def _make_pair(cam: CameraIntrinsics, cfg: ICPConfig):
 
 
 def _time_steps(fn, iters: int) -> float:
-    out = fn()  # warmup/compile
+    """Wall time of `iters` calls of `fn(i)`.
+
+    `fn` must vary its operand values with `i`: repeated dispatches of a
+    pure program with unchanged operands can be served without
+    re-execution on the tunneled TPU platform (see
+    `benchmarks._time_device_chain`), which turns the timing into a
+    transport benchmark."""
+    out = fn(0)  # warmup/compile
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
+    for i in range(iters):
+        out = fn(i + 1)
     jax.block_until_ready(out)
     return time.perf_counter() - t0
 
@@ -81,9 +88,18 @@ def batch_scaling(
     batches=(1, 2, 4),
     iters: int = 20,
 ) -> list[dict]:
-    """Frames/s at batch sizes B on ONE device (vmapped tracking)."""
+    """Frames/s at batch sizes B on ONE device (vmapped tracking).
+
+    Batched paths run the XLA ICP backend: the fused Pallas GN kernel is
+    a single-problem latency design (scratch-DMA windows, ANY-space
+    blocks — not batchable), while under vmap the XLA path's stencil and
+    reductions batch into larger ops whose utilization IS the headroom
+    this measurement exists to expose."""
+    import dataclasses
+
     from slam_rgbd_tpu.odometry.icp import icp_align
 
+    cfg = dataclasses.replace(cfg, backend="xla")
     src1, tgt1 = _make_pair(cam, cfg)
     rows = []
     for b in batches:
@@ -92,7 +108,7 @@ def batch_scaling(
         step = jax.jit(
             jax.vmap(lambda s, t, T: icp_align(s, t, T, cam, cfg).T)
         )
-        dt = _time_steps(lambda: step(src, tgt, T0), iters)
+        dt = _time_steps(lambda i: step(src, tgt, T0 + i * 1e-7), iters)
         fps = b * iters / dt
         rows.append({"batch": b, "frames_per_s": round(fps, 2)})
     base = rows[0]["frames_per_s"]
@@ -108,6 +124,9 @@ def mesh_scaling(
     iters: int = 10,
 ) -> list[dict]:
     """Frames/s of `dist.batch_track` at mesh sizes {1, 2, 4, ...}."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, backend="xla")  # see batch_scaling
     n_dev = len(jax.devices())
     if mesh_sizes is None:
         mesh_sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
@@ -124,8 +143,8 @@ def mesh_scaling(
             lambda s, t, T, mesh=mesh: dist.batch_track(mesh, s, t, T, cam, cfg)[0]
         )
 
-        def step(fn=fn, src=src, tgt=tgt, T0=T0):
-            return fn(src, tgt, T0)
+        def step(i, fn=fn, src=src, tgt=tgt, T0=T0):
+            return fn(src, tgt, T0 + i * 1e-7)
 
         dt = _time_steps(step, iters)
         fps = n * iters / dt

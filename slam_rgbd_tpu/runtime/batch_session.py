@@ -1,0 +1,336 @@
+"""Multi-sequence SLAM: N sequences tracked concurrently over a device mesh.
+
+This is the PRODUCT surface of the `parallel/` layer (SURVEY.md §7 layer 7;
+BASELINE.json configs[4]'s multi-sequence batch mode): the state of N
+independent SLAM sessions lives as batched arrays with the leading
+sequence axis sharded over the mesh's `data` axis, and every step is one
+jitted program that XLA partitions across devices — each device tracks,
+keyframes, and bundle-adjusts its own sequence shard with ZERO cross-device
+traffic in steady state (multi-sequence odometry is embarrassingly
+parallel; the scaling-efficiency claim of BASELINE.md:32 is measured on
+exactly this workload).
+
+Relationship to `SLAMSession` (one sequence, latency-oriented):
+
+  * tracking    — the same `icp_align` coarse-to-fine GN, vmapped over the
+    sequence axis (the `dist.batch_track` program shape).
+  * keyframes   — the same `should_insert_keyframe` policy and
+    `mapping.map.insert_keyframe` scatter, vmapped over per-sequence
+    `MapState`s; insertion is MASKED per sequence (static shapes — a
+    sequence that doesn't want a keyframe this step runs the same program
+    and keeps its old map).
+  * association — the same two-tier `match_against_map`, vmapped, on the
+    XLA matching path (the fused Pallas kernel is single-problem; batching
+    rides the MXU through the batched matmul instead).
+  * backend     — the same compacted `windowed_local_ba`, vmapped, merged
+    with the same rigid-correction discipline. Loop closure is
+    deliberately NOT run here: batch mode is the multi-sequence
+    throughput/serving path, and the pose-graph rewrite is a per-sequence
+    latency feature (`SLAMSession`).
+
+The host keeps only per-sequence scalars (keyframe counts, frame indices);
+all array state stays device-resident and sharded. Checkpointing N
+sequences = checkpointing one pytree.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from slam_rgbd_tpu.backend import ba as ba_mod
+from slam_rgbd_tpu.core import camera, se3
+from slam_rgbd_tpu.core.config import SLAMConfig
+from slam_rgbd_tpu.features import detect as fdetect
+from slam_rgbd_tpu.features import orb as forb
+from slam_rgbd_tpu.mapping import map as smap
+from slam_rgbd_tpu.odometry.icp import track_frame
+from slam_rgbd_tpu.parallel.mesh import make_mesh
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "icp_cfg", "kcfg"))
+def _batch_steady(prev_pyr, depth, rgb, T_world, motion, last_kf_T,
+                  cam, icp_cfg, kcfg):
+    """One tracking step for every sequence: pyramid + coarse-to-fine GN +
+    keyframe-decision summary, vmapped over the (sharded) sequence axis."""
+
+    def one(pp, d, c, T, m, kfT):
+        pyr = camera.build_frame_pyramid(d, cam, levels=icp_cfg.levels, rgb=c)
+        T2, m2, res = track_frame(pp, pyr, T, m, cam, icp_cfg)
+        should = smap.should_insert_keyframe(T2, kfT, res.valid_fraction, kcfg)
+        summary = jnp.stack([
+            res.valid_fraction, res.rmse,
+            jnp.all(jnp.isfinite(T2)).astype(jnp.float32),
+            should.astype(jnp.float32),
+        ])
+        return pyr, T2, m2, summary
+
+    return jax.vmap(one)(prev_pyr, depth, rgb, T_world, motion, last_kf_T)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "orb"))
+def _batch_features(depth, rgb, cam, orb):
+    """Vmapped feature stage (detect + describe + keypoint depth)."""
+
+    def one(d, c):
+        intensity = camera.rgb_to_intensity(c) / 255.0
+        kp, pyr = fdetect.detect_pyramid(
+            intensity, n_features=orb.n_features, n_levels=orb.n_levels,
+            scale_factor=orb.scale_factor, threshold=orb.fast_threshold,
+            min_threshold=orb.fast_min_threshold,
+        )
+        desc = forb.describe(kp, pyr, orb.scale_factor)
+        depth_m = camera.depth_to_metres(d, cam)
+        pts, ok = forb.keypoint_depth(kp, depth_m, cam)
+        return kp.uv, desc.signs, pts, ok & kp.valid
+
+    return jax.vmap(one)(depth, rgb)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_insert(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
+                  do_insert, cfg):
+    """Masked keyframe insert for every sequence (vmapped scatter; a
+    sequence with do_insert=False keeps its map unchanged)."""
+    kcfg = cfg.keyframes
+
+    def one(m, uv, sg, p3, okk, T, t, ki, do):
+        has_map = ki > 0
+        pid = smap.match_against_map(
+            m, sg, okk, uv, p3[:, 2], T, cam=cfg.camera,
+            max_distance=float(cfg.orb.match_threshold), kp_pts=p3,
+            merge_radius=kcfg.merge_radius, backend="xla",
+        )
+        pid = jnp.where(has_map, pid, -1)
+        m2 = smap.insert_keyframe(m, T, t, uv, p3, okk, sg, pid)
+        if kcfg.cull_min_obs > 0:
+            m2, _ = smap.cull_points(
+                m2, jnp.maximum(ki, 0),
+                min_obs=kcfg.cull_min_obs, max_age_kf=kcfg.cull_max_age_kf,
+            )
+        m_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do, a, b), m2, m
+        )
+        last_kf_T = jnp.take(m_out.kf_pose, jnp.maximum(ki, 0), axis=0)
+        return m_out, last_kf_T
+
+    return jax.vmap(one)(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
+                         do_insert)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_ba(maps, T_world, do_ba, cfg):
+    """Vmapped compacted windowed BA + masked rigid-correction merge —
+    the backend pass of the batch path (no loop closure; see module
+    docstring)."""
+    w = cfg.ba.window
+
+    def one(m, Tw, do):
+        idx, valid = smap.local_window(m, 2 * w)
+        free = jnp.arange(2 * w) >= w
+        res = ba_mod._windowed_single(
+            m.kf_pose[idx], valid, m.pt_xyz, m.kp_uv[idx],
+            m.kp_pts[idx][..., 2], m.point_id[idx],
+            m.kp_ok[idx] & valid[:, None], cfg.camera, cfg.ba, free,
+        )
+        poses = m.kf_pose.at[idx].set(
+            jnp.where(valid[:, None, None], res.kf_pose, m.kf_pose[idx])
+        )
+        snap = jnp.maximum(m.n_kf - 1, 0)
+        C = se3.normalize_rotation(
+            jnp.take(poses, snap, axis=0)
+            @ se3.inverse(jnp.take(m.kf_pose, snap, axis=0))
+        )
+        pt_finite = jnp.all(jnp.isfinite(res.pt_xyz), axis=-1)
+        sane = (
+            jnp.all(jnp.isfinite(poses))
+            & jnp.all(jnp.isfinite(C))
+            & (jnp.linalg.norm(C[:3, 3]) < 2.0)
+        )
+        use = do & sane
+        pt = jnp.where(
+            (res.pt_solved & m.pt_valid & pt_finite)[:, None],
+            res.pt_xyz, m.pt_xyz,
+        )
+        m2 = m.replace(
+            kf_pose=jnp.where(use, poses, m.kf_pose),
+            pt_xyz=jnp.where(use, pt, m.pt_xyz),
+        )
+        Tw2 = jnp.where(use, se3.normalize_rotation(C @ Tw), Tw)
+        return m2, Tw2, jnp.where(use, res.rmse_px, 0.0)
+
+    return jax.vmap(one)(maps, T_world, do_ba)
+
+
+@jax.jit
+def _batch_traj_append(buf, i, T):
+    return buf.at[:, i].set(T)
+
+
+@dataclass
+class BatchState:
+    frames: int = 0
+    keyframes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    lost: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+
+class BatchSession:
+    """N concurrent SLAM sequences over a `data`-axis mesh.
+
+    Feed one synchronized frame per sequence with
+    `process_frames(ts, depth (B,H,W) u16, rgb (B,H,W,3) u8)`; read
+    per-sequence results with `poses()` / `keyframe_counts`. `mesh=None`
+    builds a data-only mesh over all visible devices (a single chip gives
+    a 1-device mesh and the same program runs unchanged — this class IS
+    the single-program multi-chip execution path).
+    """
+
+    def __init__(self, cfg: SLAMConfig, n_seq: int, mesh=None):
+        import dataclasses
+
+        # Batched tracking runs the XLA ICP backend: the fused Pallas GN
+        # kernel is a single-problem latency design (scratch-DMA windows
+        # are not batchable under vmap); with a sequence batch the XLA
+        # stencil's ops batch into large fused kernels and the batch axis
+        # itself provides the chip utilization.
+        self.cfg = cfg.replace(
+            icp=dataclasses.replace(cfg.icp, backend="xla")
+        )
+        cfg = self.cfg
+        self.B = n_seq
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        ndev = self.mesh.shape[cfg.mesh.data_axis]
+        if n_seq % ndev:
+            raise ValueError(f"n_seq={n_seq} not divisible by data axis {ndev}")
+        self._shard = NamedSharding(self.mesh, P(cfg.mesh.data_axis))
+        self._rep = NamedSharding(self.mesh, P())
+
+        budgets = fdetect._per_level_budget(
+            cfg.orb.n_features, cfg.orb.n_levels, cfg.orb.scale_factor
+        )
+        n_kp = sum(budgets)
+        one_map = smap.empty_map(cfg.keyframes, n_kp)
+        self.maps = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_seq,) + x.shape), one_map
+            ),
+            self._shard,
+        )
+        eye = jnp.broadcast_to(jnp.eye(4), (n_seq, 4, 4))
+        self.T_world = jax.device_put(eye, self._shard)
+        self.motion = jax.device_put(eye, self._shard)
+        self.last_kf_T = jax.device_put(eye, self._shard)
+        self.prev_pyr = None
+        self._traj_cap = 1024
+        self._traj = jax.device_put(
+            jnp.zeros((n_seq, self._traj_cap, 4, 4)), self._shard
+        )
+        self._traj_kf_idx: list[np.ndarray] = []  # per frame: (B,) ref KF
+        self._traj_ts: list[float] = []
+        self._n_kf = np.zeros(n_seq, np.int64)
+        self._last_kf_frame = np.full(n_seq, -(10 ** 9))
+        self._frame_i = 0
+        self.state = BatchState(
+            keyframes=np.zeros(n_seq, np.int64), lost=np.zeros(n_seq, np.int64)
+        )
+
+    # ------------------------------------------------------------------ step
+    def _insert(self, ts, depth, rgb, do_insert: np.ndarray):
+        kp_uv, signs, pts, ok = _batch_features(
+            depth, rgb, cam=self.cfg.camera, orb=self.cfg.orb
+        )
+        kf_idx = jnp.asarray(self._n_kf.astype(np.int32))
+        self.maps, self.last_kf_T = _batch_insert(
+            self.maps, kp_uv, signs, pts, ok, self.T_world,
+            jnp.full((self.B,), np.float32(ts)), kf_idx,
+            jnp.asarray(do_insert), cfg=self.cfg,
+        )
+        self._n_kf += do_insert.astype(np.int64)
+        self.state.keyframes += do_insert.astype(np.int64)
+        self._last_kf_frame = np.where(
+            do_insert, self._frame_i, self._last_kf_frame
+        )
+        # backend: windowed BA for sequences with enough keyframes
+        do_ba = do_insert & (self._n_kf >= 3)
+        if do_ba.any():
+            self.maps, self.T_world, _ = _batch_ba(
+                self.maps, self.T_world, jnp.asarray(do_ba), cfg=self.cfg
+            )
+            self.last_kf_T = jax.vmap(
+                lambda m, i: jnp.take(m.kf_pose, i, axis=0)
+            )(self.maps, jnp.asarray(np.maximum(self._n_kf - 1, 0).astype(np.int32)))
+
+    def process_frames(self, ts: float, depth: np.ndarray, rgb: np.ndarray):
+        """One synchronized frame for every sequence."""
+        depth = jax.device_put(jnp.asarray(depth), self._shard)
+        rgb = jax.device_put(jnp.asarray(rgb), self._shard)
+        traj_i = len(self._traj_ts)
+        if traj_i >= self._traj_cap:
+            raise RuntimeError("batch trajectory ring full")
+
+        if self.prev_pyr is None:  # bootstrap: keyframe 0 for every sequence
+            self.prev_pyr = jax.vmap(
+                lambda d, c: camera.build_frame_pyramid(
+                    d, self.cfg.camera, levels=self.cfg.icp.levels, rgb=c
+                )
+            )(depth, rgb)
+            self._insert(ts, depth, rgb, np.ones(self.B, bool))
+            self._last_kf_frame[:] = 0
+        else:
+            (self.prev_pyr, self.T_world, self.motion,
+             summaries) = _batch_steady(
+                self.prev_pyr, depth, rgb, self.T_world, self.motion,
+                self.last_kf_T, cam=self.cfg.camera, icp_cfg=self.cfg.icp,
+                kcfg=self.cfg.keyframes,
+            )
+            s = np.asarray(summaries)  # (B, 4)
+            ok = (s[:, 0] > 0.25) & (s[:, 2] > 0.5)
+            self.state.lost += (~ok).astype(np.int64)
+            gap_ok = (
+                self._frame_i - self._last_kf_frame
+                >= self.cfg.keyframes.kf_min_gap_frames
+            )
+            room = self._n_kf < self.cfg.keyframes.max_keyframes
+            do = ok & (s[:, 3] > 0.5) & gap_ok & room
+            if do.any():
+                self._insert(ts, depth, rgb, do)
+
+        self._traj = _batch_traj_append(
+            self._traj, np.int32(traj_i), self.T_world
+        )
+        self._traj_ts.append(ts)
+        self._traj_kf_idx.append(np.maximum(self._n_kf - 1, 0).copy())
+        self._frame_i += 1
+        self.state.frames += 1
+
+    # --------------------------------------------------------------- outputs
+    def poses(self):
+        """(ts (n,), trajectories (B, n, 4, 4)) — raw per-sequence logs.
+
+        Batch mode merges backend corrections into the LIVE pose as it
+        goes; logged poses are the live estimates at log time."""
+        n = len(self._traj_ts)
+        return np.asarray(self._traj_ts), np.asarray(self._traj[:, :n])
+
+    def ate_per_sequence(self, gt: np.ndarray) -> np.ndarray:
+        """ATE RMSE (metres) per sequence vs (B, n, 4, 4) ground truth."""
+        from slam_rgbd_tpu.eval.trajectory import ate_rmse
+
+        _, est = self.poses()
+        out = []
+        for b in range(self.B):
+            rmse, _, _ = ate_rmse(est[b], gt[b][: est.shape[1]])
+            out.append(rmse)
+        return np.asarray(out)
+
+    @property
+    def keyframe_counts(self) -> np.ndarray:
+        return self._n_kf.copy()
+
+    def map_point_counts(self) -> np.ndarray:
+        return np.asarray(jax.vmap(smap.map_point_count)(self.maps))

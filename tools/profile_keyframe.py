@@ -6,6 +6,8 @@ isolation, to find what makes keyframe frames ~430 ms (BENCH_r02).
 Run: python tools/profile_keyframe.py
 """
 import time
+import sys
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
