@@ -120,31 +120,48 @@ def windowed_bilinear(
         mu_v = jnp.round(jnp.sum(dv_f * mm) / msum).astype(jnp.int32)
     else:
         mu_u, mu_v = flow_shift(up, vp, h, w)
-    channels = jnp.roll(channels, (-mu_v, -mu_u), axis=(0, 1))
-    valid_f = jnp.roll(valid.astype(channels.dtype), (-mu_v, -mu_u), axis=(0, 1))
+    # validity rides as an extra CHANNEL: one rolled array per stencil
+    # term instead of two (the validity sum is just its accumulator row)
+    chan_v = jnp.concatenate(
+        [channels, valid.astype(channels.dtype)[..., None]], axis=-1
+    )
+    chan_v = jnp.roll(chan_v, (-mu_v, -mu_u), axis=(0, 1))
     du_f = du_f - mu_u
     dv_f = dv_f - mu_v
     # absolute target coords for the in-bounds checks (roll wrap = OOB)
     u_abs = u_grid + mu_u
     v_abs = v_grid + mu_v
 
-    acc = jnp.zeros_like(channels)
-    wsum = jnp.zeros_like(up)
-    vsum = jnp.zeros_like(up)
-    for dv in range(-radius, radius + 2):
-        wv = jnp.maximum(0.0, 1.0 - jnp.abs(dv_f - dv))
-        inb_v = (v_abs + dv >= 0) & (v_abs + dv < h)
-        for du in range(-radius, radius + 2):
-            wu = jnp.maximum(0.0, 1.0 - jnp.abs(du_f - du))
-            inb = inb_v & (u_abs + du >= 0) & (u_abs + du < w)
-            wgt = jnp.where(inb, wv * wu, 0.0)
-            shifted = jnp.roll(channels, (-dv, -du), axis=(0, 1))
-            sv = jnp.roll(valid_f, (-dv, -du), axis=(0, 1))
+    # Effective 1-D weights with the bounds checks folded in (the
+    # bilinear weight is separable: wgt = wu_eff[du] * wv_eff[dv]) — the
+    # (2R+2)^2-term loop then does one multiply + (C+1) FMAs per term,
+    # and the weight sum is the product of the two 1-D sums. Same
+    # restructuring as the fused Pallas kernel (`ops/icp_pallas.py`).
+    offs = list(range(-radius, radius + 2))
+    wu_eff = [
+        jnp.where(
+            (u_abs + du >= 0) & (u_abs + du < w),
+            jnp.maximum(0.0, 1.0 - jnp.abs(du_f - du)), 0.0,
+        )
+        for du in offs
+    ]
+    wv_eff = [
+        jnp.where(
+            (v_abs + dv >= 0) & (v_abs + dv < h),
+            jnp.maximum(0.0, 1.0 - jnp.abs(dv_f - dv)), 0.0,
+        )
+        for dv in offs
+    ]
+    wsum = sum(wu_eff) * sum(wv_eff)
+
+    acc = jnp.zeros_like(chan_v)
+    for idv, dv in enumerate(offs):
+        for idu, du in enumerate(offs):
+            wgt = wu_eff[idu] * wv_eff[idv]
+            shifted = jnp.roll(chan_v, (-dv, -du), axis=(0, 1))
             acc = acc + wgt[..., None] * shifted
-            wsum = wsum + wgt
-            vsum = vsum + wgt * sv
-    ok = (wsum > 0.999) & (vsum > 0.999)
-    return acc, ok
+    ok = (wsum > 0.999) & (acc[..., -1] > 0.999)
+    return acc[..., :-1], ok
 
 
 def _pack_level(src: dict, tgt: dict):

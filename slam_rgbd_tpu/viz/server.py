@@ -12,11 +12,40 @@ Three.js page (orbit + zoom, mirroring the GLFW viewer's mouse controls,
 from __future__ import annotations
 
 import json
+import struct
 import threading
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
+from urllib.parse import parse_qs, urlparse
 
 from slam_rgbd_tpu.viz.pointcloud import pointcloud_json
+
+
+def encode_png(rgb) -> bytes:
+    """Minimal RGB8 PNG encoder (filter-0 rows, one zlib IDAT) — enough to
+    stream native-viewer frames to a browser with no image library."""
+    import numpy as np
+
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    raw = b"".join(
+        b"\x00" + rgb[y].tobytes() for y in range(h)
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 INDEX_HTML = """<!DOCTYPE html>
 <html>
@@ -78,8 +107,56 @@ load(); animate();
 """
 
 
+NATIVE_HTML = """<!DOCTYPE html>
+<html>
+<head>
+  <title>slam_rgbd_tpu — native viewer</title>
+  <style>body { margin: 0; background: #0b0e14; overflow: hidden; }
+    #hud { position: fixed; top: 8px; left: 10px; color: #9fb2c8;
+      font: 12px monospace; } img { display: block; margin: auto; }</style>
+</head>
+<body>
+<div id="hud">native viewer (C++ rasterizer) — drag: orbit, wheel: zoom</div>
+<img id="view" src="/native/frame" draggable="false">
+<script>
+// Live interactive loop over the NATIVE renderer: mouse deltas are
+// forwarded to viewer_orbit/viewer_zoom (the reference's GLFW input
+// semantics, viewerModule.c:416-440) and the freshly rasterized frame
+// streams back. The map is re-fetched per frame, so it is LIVE.
+const img = document.getElementById('view');
+let dragging = false, px = 0, py = 0, inflight = false, gen = 0;
+function refresh() {
+  if (inflight) return; inflight = true;
+  img.onload = () => { inflight = false; };
+  img.onerror = () => { inflight = false; };
+  img.src = '/native/frame?g=' + (gen++);
+}
+addEventListener('mousedown', e => { dragging = true; px = e.clientX; py = e.clientY; });
+addEventListener('mouseup', () => dragging = false);
+addEventListener('mousemove', async e => {
+  if (!dragging) return;
+  const dx = e.clientX - px, dy = e.clientY - py;
+  px = e.clientX; py = e.clientY;
+  await fetch(`/native/orbit?dx=${dx}&dy=${dy}`);
+  refresh();
+});
+addEventListener('wheel', async e => {
+  await fetch(`/native/zoom?steps=${e.deltaY > 0 ? -1 : 1}`);
+  refresh();
+});
+setInterval(refresh, 1000);  // live map updates even without input
+</script>
+</body>
+</html>
+"""
+
+
 class PointCloudServer:
-    """Serves `/` (viewer page) and `/pointcloud` (JSON payload).
+    """Serves `/` (Three.js page), `/pointcloud` (JSON payload), and — when
+    the native library is available — a LIVE interactive loop over the C++
+    rasterizer: `/native` (page), `/native/frame` (PNG of the current map
+    through `NativeViewer`), `/native/orbit` + `/native/zoom` (mouse verbs
+    with the reference viewer's input semantics, `viewerModule.c:416-440`).
 
     `source` is a zero-arg callable returning (pts (N,3), colors (N,3)|None)
     — evaluated per request so a live session streams its current map.
@@ -91,20 +168,77 @@ class PointCloudServer:
         self.port = port
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        self._native = None  # lazily-created NativeViewer (+lock)
+        self._native_lock = threading.Lock()
+
+    def _native_viewer(self):
+        from slam_rgbd_tpu.viz import native as nviz
+
+        if self._native is None and nviz.native_available():
+            self._native = nviz.NativeViewer(960, 720)
+        return self._native
+
+    def _render_native_frame(self) -> Optional[bytes]:
+        import numpy as np
+
+        with self._native_lock:
+            viewer = self._native_viewer()
+            if viewer is None:
+                return None
+            pts, colors = self.source()
+            pts = np.asarray(pts, np.float32).reshape(-1, 3)
+            if colors is None:
+                colors = np.full((len(pts), 3), 200, np.uint8)
+            else:
+                colors = np.asarray(colors)
+                if colors.dtype != np.uint8:  # float [0,1] -> u8
+                    colors = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+            frame = viewer.render(pts, colors)
+            return encode_png(frame)
 
     def start(self) -> "PointCloudServer":
         source = self.source
+        outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
-                if self.path == "/":
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                if url.path == "/":
                     body = INDEX_HTML.encode()
                     ctype = "text/html"
-                elif self.path == "/pointcloud":
+                elif url.path == "/pointcloud":
                     pts, colors = source()
                     body = pointcloud_json(pts, colors).encode()
                     ctype = "application/json"
-                elif self.path == "/healthz":
+                elif url.path == "/healthz":
+                    body = b'{"ok": true}'
+                    ctype = "application/json"
+                elif url.path == "/native":
+                    body = NATIVE_HTML.encode()
+                    ctype = "text/html"
+                elif url.path == "/native/frame":
+                    png = outer._render_native_frame()
+                    if png is None:
+                        self.send_response(503)
+                        self.end_headers()
+                        self.wfile.write(b"native viewer unavailable")
+                        return
+                    body = png
+                    ctype = "image/png"
+                elif url.path == "/native/orbit":
+                    with outer._native_lock:
+                        v = outer._native_viewer()
+                        if v is not None:
+                            v.orbit(float(q.get("dx", ["0"])[0]),
+                                    float(q.get("dy", ["0"])[0]))
+                    body = b'{"ok": true}'
+                    ctype = "application/json"
+                elif url.path == "/native/zoom":
+                    with outer._native_lock:
+                        v = outer._native_viewer()
+                        if v is not None:
+                            v.zoom(int(float(q.get("steps", ["0"])[0])))
                     body = b'{"ok": true}'
                     ctype = "application/json"
                 else:
@@ -134,3 +268,7 @@ class PointCloudServer:
             self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=2)
+        with self._native_lock:
+            if self._native is not None:
+                self._native.close()
+                self._native = None

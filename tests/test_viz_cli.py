@@ -67,6 +67,32 @@ class TestServer:
         finally:
             srv.stop()
 
+    def test_native_interactive_loop(self, rng):
+        """The live native-viewer loop: /native/frame renders the current
+        cloud through the C++ rasterizer, /native/orbit + /native/zoom
+        mutate its camera (the reference's GLFW mouse verbs,
+        `viewerModule.c:416-440`), and the next frame reflects it."""
+        from slam_rgbd_tpu.viz.native import native_available
+
+        if not native_available():
+            pytest.skip("native viewer library not available")
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        colors = rng.integers(0, 255, size=(200, 3)).astype(np.uint8)
+        srv = PointCloudServer(lambda: (pts, colors), port=0).start()
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            html = urllib.request.urlopen(url + "/native").read().decode()
+            assert "/native/orbit" in html
+            f0 = urllib.request.urlopen(url + "/native/frame").read()
+            assert f0[:8] == b"\x89PNG\r\n\x1a\n"
+            urllib.request.urlopen(url + "/native/orbit?dx=120&dy=40").read()
+            urllib.request.urlopen(url + "/native/zoom?steps=2").read()
+            f1 = urllib.request.urlopen(url + "/native/frame").read()
+            assert f1[:8] == b"\x89PNG\r\n\x1a\n"
+            assert f1 != f0  # the camera moved; the rendering changed
+        finally:
+            srv.stop()
+
 
 def small_cfg_yaml(tmp_path) -> str:
     """A small-resolution config so CLI tests compile fast on CPU."""
