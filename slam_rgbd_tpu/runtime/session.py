@@ -310,6 +310,13 @@ class SLAMSession:
         # criterion re-fires on the first post-insert frame if motion
         # genuinely warrants it.
         self._kf_ref_fresh_from = 0
+        # Keyframe-burst splitting: the backend job created by an insert
+        # is submitted at the START of the next frame, so the insert's
+        # device programs (features + association + scatter) and the
+        # backend pass (BA + loop attempt) occupy different frame slots —
+        # the decision-pipeline block behind a keyframe then waits for
+        # half the burst instead of all of it.
+        self._deferred_job = None
         # Consecutive low-quality frames; relocalization is attempted on
         # the 1st and then every 4th (a reloc is features + map-wide match
         # + a blocking fetch — per-frame attempts during a degraded streak
@@ -449,6 +456,12 @@ class SLAMSession:
         if self.worker is not None:
             self._apply_backend(self.worker.poll())
             self.worker.advance(self._loop_gen, self._allow_loop)
+            # deferred backend submit (see _insert_keyframe): the insert's
+            # device programs and the backend pass land in DIFFERENT frame
+            # slots, so no single frame waits behind the whole burst
+            if self._deferred_job is not None:
+                job, self._deferred_job = self._deferred_job, None
+                self.worker.submit(job)
         # resolve every in-flight frame whose summary has landed; force
         # (block on) the oldest only at the lag bound
         self._drain_pending(block=len(self._pending) >= self.cfg.runtime.max_decision_lag)
@@ -668,7 +681,11 @@ class SLAMSession:
             generation=self._loop_gen,
         )
         if self.worker is not None:
-            self.worker.submit(job)  # busy => recorded skip, never blocks
+            # deferred to the next frame's merge step (burst splitting —
+            # see __init__); a job already waiting there is superseded
+            if self._deferred_job is not None:
+                self.worker.skipped += 1
+            self._deferred_job = job
         else:
             res = bworker.backend_pass(
                 job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
@@ -783,6 +800,9 @@ class SLAMSession:
         """
         self.flush_pipeline()
         if self.worker is not None:
+            if self._deferred_job is not None:  # burst-split leftover
+                job, self._deferred_job = self._deferred_job, None
+                self.worker.submit(job)
             deadline = time.monotonic() + timeout
             self._apply_backend(self.worker.poll())
             self.worker.advance(self._loop_gen, self._allow_loop)
