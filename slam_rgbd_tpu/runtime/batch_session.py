@@ -116,7 +116,11 @@ def _batch_insert(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
         m_out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do, a, b), m2, m
         )
-        last_kf_T = jnp.take(m_out.kf_pose, jnp.maximum(ki, 0), axis=0)
+        # reference keyframe: the newly-filled slot for inserting
+        # sequences, the PREVIOUS one for masked-out sequences (their
+        # slot `ki` is still empty)
+        ref = jnp.maximum(jnp.where(do, ki, ki - 1), 0)
+        last_kf_T = jnp.take(m_out.kf_pose, ref, axis=0)
         return m_out, last_kf_T
 
     return jax.vmap(one)(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
