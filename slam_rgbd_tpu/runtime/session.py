@@ -110,10 +110,10 @@ def _steady_step(
     return pyr, T_world, motion, summary, buf_T, buf_kfT
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "match_backend"))
 def _kf_insert_jit(
     m, edges, n_edges, kp_uv, signs, pts, ok, T_pose, ts,
-    prev_kf_idx, kf_idx, cfg,
+    prev_kf_idx, kf_idx, cfg, match_backend="auto",
 ):
     """The whole keyframe-insert device stage as ONE program: map
     association (two-tier gated match), keyframe/point insertion, the
@@ -133,6 +133,7 @@ def _kf_insert_jit(
         max_distance=float(cfg.orb.match_threshold),
         kp_pts=pts,
         merge_radius=kcfg.merge_radius,
+        backend=match_backend,
     )
     match_pid = jnp.where(has_map, match_pid, -1)
     m = smap.insert_keyframe(m, T_pose, ts, kp_uv, pts, ok, signs, match_pid)
@@ -251,15 +252,23 @@ class SessionState:
 
 
 class SLAMSession:
-    """Single-device RGB-D SLAM session.
+    """RGB-D SLAM session (one sequence).
 
     Call `process_frame(ts, depth_raw, rgb)` per frame; read `poses()` /
     `keyframe_poses()` / `stats` afterward. All device programs are jitted
     once — shapes are fixed by the config.
+
+    `mesh`: optional `jax.sharding.Mesh`. With a `model` axis >1, the
+    session runs in map-block sharded mode — the per-point map arrays are
+    placed block-sharded over `model` and GSPMD partitions the
+    association/BA programs across the mesh (the map is the state that
+    outgrows one device; SURVEY.md §5's long-context analogue as a
+    product mode). For N CONCURRENT sequences over the `data` axis use
+    `runtime.batch_session.BatchSession` instead.
     """
 
     def __init__(self, config: SLAMConfig, metrics=None,
-                 async_backend: bool = False):
+                 async_backend: bool = False, mesh=None):
         from slam_rgbd_tpu.runtime.profiling import StageTimer
 
         self.cfg = config
@@ -268,6 +277,38 @@ class SLAMSession:
         cam = config.camera
         self.n_kp = config.orb.n_features
         self.map = smap.empty_map(config.keyframes, self._kp_capacity())
+        # Map-block sharded mode (the long-context analogue, SURVEY.md §5):
+        # with a mesh whose `model` axis is >1, the map's per-POINT arrays
+        # are placed block-sharded over `model` (the map is the state that
+        # outgrows one device; keyframe arrays are small and replicated).
+        # The session's programs are unchanged — the scaling-book recipe:
+        # annotate shardings, let GSPMD partition the matmuls/scatters and
+        # insert the collectives (the Hamming association matmul becomes
+        # column-sharded with an all-reduce'd argmin, exactly the layout
+        # `dist.sharded_map_association` spells out with shard_map).
+        # Pallas kernels are single-device programs, so the sharded mode
+        # pins the XLA matching path.
+        self._mesh = mesh
+        self._match_backend = "auto"
+        if mesh is not None and mesh.shape[config.mesh.model_axis] > 1:
+            import dataclasses as _dc
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = config.mesh.model_axis
+            blocked = NamedSharding(mesh, P(axis))
+            replicated = NamedSharding(mesh, P())
+            self.map = smap.MapState(**{
+                f.name: jax.device_put(
+                    getattr(self.map, f.name),
+                    blocked
+                    if (f.name.startswith("pt_")
+                        and getattr(self.map, f.name).ndim >= 1)
+                    else replicated,  # scalars/counters and kf_* arrays
+                )
+                for f in _dc.fields(smap.MapState)
+            })
+            self._match_backend = "xla"
         self.edges = pg_mod.EdgeList.empty(4 * config.keyframes.max_keyframes)
         self.n_edges = jnp.int32(0)
         self.state = SessionState()
@@ -663,7 +704,7 @@ class SLAMSession:
          _n_culled) = _kf_insert_jit(
             self.map, self.edges, self.n_edges, kp.uv, desc.signs, pts, ok,
             T_pose, jnp.float32(ts), np.int32(prev_kf_idx),
-            np.int32(kf_idx), self.cfg,
+            np.int32(kf_idx), self.cfg, self._match_backend,
         )
         self._n_kf_host += 1
         self.last_kf_idx = kf_idx
@@ -863,8 +904,10 @@ class SLAMSession:
     def reset(self):
         """Full system reset (`resetSlam` parity, `SLAM.cpp:220-228`)."""
         was_async = self.async_backend
+        mesh = self._mesh
         self.close()
-        self.__init__(self.cfg, metrics=self.metrics, async_backend=was_async)
+        self.__init__(self.cfg, metrics=self.metrics,
+                      async_backend=was_async, mesh=mesh)
 
     # -------------------------------------------------------------- outputs
     def _traj_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -84,6 +84,43 @@ class TestBatchSession:
         }
         assert len(shard_devs) == 4
 
+    def test_map_block_sharded_session_mode(self):
+        """SLAMSession with the map's point arrays block-sharded over an
+        8-device `model` axis — the long-context analogue as a SESSION
+        MODE (not a standalone demo program): identical code, map placed
+        over the mesh, GSPMD partitions the association matmuls/scatters.
+        The trajectory must match the unsharded session."""
+        from slam_rgbd_tpu.runtime.session import SLAMSession
+
+        cfg = batch_config().replace(mesh=MeshConfig(data=1, model=8))
+        mesh = make_mesh(cfg.mesh, devices=jax.devices()[:8])
+        seq = SyntheticSequence(8, CAM, step_t=0.015, step_r=0.012)
+
+        ref = SLAMSession(cfg)
+        shd = SLAMSession(cfg, mesh=mesh)
+        assert shd._match_backend == "xla"
+        for ts, d, c in seq:
+            ref.process_frame(ts, d, c)
+            shd.process_frame(ts, d, c)
+        _, est_ref = ref.poses()
+        _, est_shd = shd.poses()
+        assert shd.state.keyframes == ref.state.keyframes
+        # same math modulo reduction order: GSPMD partitions the BA/match
+        # reductions, so float32 sums associate differently and the
+        # nonlinear pipeline amplifies the last bits — bound the
+        # TRAJECTORY divergence at millimetre scale instead
+        np.testing.assert_allclose(est_shd, est_ref, atol=1e-2)
+        from slam_rgbd_tpu.eval.trajectory import ate_rmse
+
+        rmse, _, _ = ate_rmse(est_shd, seq.groundtruth())
+        assert rmse < 0.02, f"sharded-session ATE {rmse:.4f}"
+        # the point table genuinely lives across the mesh
+        assert len(shd.map.pt_xyz.sharding.device_set) == 8
+        assert len(shd.map.pt_signs.sharding.device_set) == 8
+        # reset preserves the sharded placement
+        shd.reset()
+        assert len(shd.map.pt_xyz.sharding.device_set) == 8
+
     def test_single_device_mesh_runs_same_program(self):
         """The same class on a 1-device mesh (single-chip deployment)."""
         cfg = batch_config().replace(mesh=MeshConfig(data=1, model=1))
