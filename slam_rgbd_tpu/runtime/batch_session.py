@@ -171,15 +171,16 @@ def _batch_ba(maps, T_world, do_ba, cfg):
     return jax.vmap(one)(maps, T_world, do_ba)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _batch_traj_append(buf, i, T):
+    """In-place scatter (buffer donated — a copy per frame would move the
+    whole (B, cap, 4, 4) log through HBM every step)."""
     return buf.at[:, i].set(T)
 
 
 @dataclass
 class BatchState:
     frames: int = 0
-    keyframes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     lost: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
 
@@ -234,14 +235,11 @@ class BatchSession:
         self._traj = jax.device_put(
             jnp.zeros((n_seq, self._traj_cap, 4, 4)), self._shard
         )
-        self._traj_kf_idx: list[np.ndarray] = []  # per frame: (B,) ref KF
         self._traj_ts: list[float] = []
         self._n_kf = np.zeros(n_seq, np.int64)
         self._last_kf_frame = np.full(n_seq, -(10 ** 9))
         self._frame_i = 0
-        self.state = BatchState(
-            keyframes=np.zeros(n_seq, np.int64), lost=np.zeros(n_seq, np.int64)
-        )
+        self.state = BatchState(lost=np.zeros(n_seq, np.int64))
 
     # ------------------------------------------------------------------ step
     def _insert(self, ts, depth, rgb, do_insert: np.ndarray):
@@ -255,7 +253,6 @@ class BatchSession:
             jnp.asarray(do_insert), cfg=self.cfg,
         )
         self._n_kf += do_insert.astype(np.int64)
-        self.state.keyframes += do_insert.astype(np.int64)
         self._last_kf_frame = np.where(
             do_insert, self._frame_i, self._last_kf_frame
         )
@@ -275,7 +272,12 @@ class BatchSession:
         rgb = jax.device_put(jnp.asarray(rgb), self._shard)
         traj_i = len(self._traj_ts)
         if traj_i >= self._traj_cap:
-            raise RuntimeError("batch trajectory ring full")
+            # double the log (rare: once per 1024 frames, re-jits once)
+            pad = jax.device_put(
+                jnp.zeros((self.B, self._traj_cap, 4, 4)), self._shard
+            )
+            self._traj = jnp.concatenate([self._traj, pad], axis=1)
+            self._traj_cap *= 2
 
         if self.prev_pyr is None:  # bootstrap: keyframe 0 for every sequence
             self.prev_pyr = jax.vmap(
@@ -308,7 +310,6 @@ class BatchSession:
             self._traj, np.int32(traj_i), self.T_world
         )
         self._traj_ts.append(ts)
-        self._traj_kf_idx.append(np.maximum(self._n_kf - 1, 0).copy())
         self._frame_i += 1
         self.state.frames += 1
 

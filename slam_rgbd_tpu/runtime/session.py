@@ -159,8 +159,8 @@ def _kf_insert_jit(
     return m, edges, n_edges, last_kf_T, n_culled
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _reloc_jit(m, signs, ok, pts, T_est, cfg):
+@functools.partial(jax.jit, static_argnames=("cfg", "match_backend"))
+def _reloc_jit(m, signs, ok, pts, T_est, cfg, match_backend="auto"):
     """Relocalization solve as one program: map-wide descriptor match,
     3D-3D IRLS solve, consensus gate, and the implied rigid correction
     C = T_fixed T_est^-1 — the host reads back ONE (4,) stats vector
@@ -170,6 +170,7 @@ def _reloc_jit(m, signs, ok, pts, T_est, cfg):
     mt = fmatch.match(
         signs, ok, m.pt_signs.astype(jnp.int8), m.pt_valid,
         max_distance=float(cfg.orb.match_threshold),
+        backend=match_backend,
     )
     target = m.pt_xyz[mt.idx2]
     res = solve_pose3d(pts, target, mt.valid & ok, iters=8)
@@ -732,6 +733,10 @@ class SLAMSession:
                 job.map, job.edges, job.n_edges, job.kf_idx, self.cfg,
                 n_kf=job.n_kf, allow_loop=job.allow_loop,
             )
+            # inline results are never stale — stamp the current
+            # generation or the post-loop-closure gate in _apply_backend
+            # would silently drop every later inline merge
+            res.generation = job.generation
             self._apply_backend(res)
             out["ba_rmse"] = res.ba_rmse
             out["loop"] = res.loop_closed
@@ -889,7 +894,8 @@ class SLAMSession:
             T_est = self.T_world
         kp, desc, pts, ok = self._features(depth_raw, rgb)
         T_fixed, C, stats = _reloc_jit(
-            self.map, desc.signs, ok, pts, T_est, self.cfg
+            self.map, desc.signs, ok, pts, T_est, self.cfg,
+            self._match_backend,
         )
         s = np.asarray(stats)  # the one blocking fetch
         if s[0] < 0.5:
