@@ -76,6 +76,9 @@ class BackendResult:
     ba_rmse: float = 0.0
     backend_ms: float = 0.0
     generation: int = 0  # copied from the job that produced it
+    # global-BA refinement after an accepted loop (reprojection RMSE px
+    # before/after; -1 = did not run)
+    global_ba_rmse: float = -1.0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "run_ba"))
@@ -215,6 +218,50 @@ def _backend_program(
     return kf_pose, pt_xyz, pt_adjusted, T_rel, stats
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _global_ba_program(
+    kf_pose: jax.Array,  # (M, 4, 4) post-pose-graph poses
+    pt_xyz: jax.Array,  # (P, 3) post-correction points
+    m: smap.MapState,  # snapshot (observation grid + validity)
+    cfg: SLAMConfig,
+):
+    """Full-map BA after an accepted loop — the GlobalBundleAdjustment
+    the reference delegates to ORB-SLAM3 (`SLAM.cpp:54` semantics).
+
+    Every valid keyframe is free except keyframe 0 (gauge); the solve
+    runs over the pose-graph-corrected state so it refines — rather than
+    re-discovers — the loop correction. Same compacted Schur machinery as
+    the local window (`ba._windowed_single`), with the window = the whole
+    map and the larger `global_ba_points` budget. A non-finite outcome is
+    rejected ON DEVICE (falls back to the pose-graph state) so a
+    degenerate global solve can never cost the merge its loop closure.
+
+    Returns (kf_pose, pt_xyz, pt_solved, rmse_px, applied).
+    """
+    import dataclasses
+
+    M = m.capacity_kf
+    valid = m.kf_valid
+    free = valid & (jnp.arange(M) != 0)
+    gcfg = dataclasses.replace(
+        cfg.ba,
+        iters=cfg.ba.global_ba_iters,
+        max_points_per_window=cfg.ba.global_ba_points,
+    )
+    res = ba_mod._windowed_single(
+        kf_pose, valid, pt_xyz, m.kp_uv, m.kp_pts[..., 2], m.point_id,
+        m.kp_ok & valid[:, None], cfg.camera, gcfg, free,
+    )
+    pt_finite = jnp.all(jnp.isfinite(res.pt_xyz), axis=-1)
+    ok = jnp.all(jnp.isfinite(res.kf_pose)) & (res.rmse_px < 1e3)
+    kf_out = jnp.where(ok, res.kf_pose, kf_pose)
+    pt_out = jnp.where(
+        (ok & res.pt_solved & pt_finite)[:, None], res.pt_xyz, pt_xyz
+    )
+    solved = ok & res.pt_solved & pt_finite
+    return kf_out, pt_out, solved, res.rmse_px, ok
+
+
 def backend_pass(
     m: smap.MapState,
     edges: pg_mod.EdgeList,
@@ -241,9 +288,21 @@ def backend_pass(
         jnp.asarray(allow_loop, bool), cfg=cfg, run_ba=n_kf >= 3,
     )
     s = np.asarray(stats)  # the ONE blocking device->host fetch
+    global_rmse = -1.0
+    if s[6] > 0.5 and cfg.ba.global_ba_iters > 0 and n_kf >= 3:
+        # global map refinement over the pose-graph-corrected state
+        # (loop closures are rare — the extra dispatch + fetch is off the
+        # steady-state path; compiled at warmup)
+        kf_pose, pt_xyz, g_solved, g_rmse, g_ok = _global_ba_program(
+            kf_pose, pt_xyz, m, cfg
+        )
+        pt_adjusted = pt_adjusted | g_solved
+        gs = np.asarray(jnp.stack([g_rmse, g_ok.astype(jnp.float32)]))
+        global_rmse = float(gs[0]) if gs[1] > 0.5 else -1.0
     out = BackendResult(
         snap_kf_idx=kf_idx, kf_pose=kf_pose, pt_xyz=pt_xyz,
         pt_adjusted=pt_adjusted, ba_rmse=float(s[0]),
+        global_ba_rmse=global_rmse,
     )
     if int(s[2]):
         log.info("BA window point budget overflow: %d points excluded", int(s[2]))
@@ -251,8 +310,8 @@ def backend_pass(
         out.loop_edge = (int(s[4]), kf_idx, T_rel, 5.0)
         out.loop_closed = True
         log.info(
-            "loop closed: KF%d -> KF%d (%d inliers)",
-            kf_idx, int(s[4]), int(s[7]),
+            "loop closed: KF%d -> KF%d (%d inliers); global BA rmse %.2f px",
+            kf_idx, int(s[4]), int(s[7]), global_rmse,
         )
     elif s[9] > 0.5:  # verified but rejected by the consistency gate
         log.warning(

@@ -140,6 +140,13 @@ class ICPConfig:
     # rejected — the pose holds (identity step) and the motion prior
     # resets, instead of feeding a diverged estimate into the next frame.
     max_step_m: float = 0.25
+    # Fault injection (bench/test only): a 6-twist composed onto every
+    # frame's tracked relative pose — a miscalibrated-odometry model that
+    # makes the trajectory accumulate real drift so a revisit exercises
+    # the FULL loop pipeline (association failure -> candidate -> verify
+    # -> consistency -> pose graph) end to end on the timed path. Empty
+    # tuple disables (production default).
+    drift_xi: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -210,6 +217,16 @@ class BAConfig:
     # every backend pass during a revisit otherwise re-closes the same
     # region, stacking near-duplicate weight-5 edges on the pose graph.
     loop_cooldown_kf: int = 8
+    # Global map refinement after an accepted loop (the ORB-SLAM3
+    # GlobalBundleAdjustment semantics delegated at `SLAM.cpp:54`): a
+    # full-map BA — every valid keyframe free except the gauge anchor —
+    # over the pose-graph-corrected state, run as its own device program
+    # on the backend worker. 0 disables.
+    global_ba_iters: int = 6
+    # Point budget of the global solve's compaction (the global window
+    # observes the whole map; the least-observed overflow is excluded,
+    # same policy as the local window).
+    global_ba_points: int = 8192
 
 
 @dataclass(frozen=True)

@@ -410,6 +410,175 @@ def icp_align(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def icp_align_batched(
+    src_pyr: tuple,
+    tgt_pyr: tuple,
+    T_init: jax.Array,  # (B, 4, 4)
+    cam: CameraIntrinsics,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Coarse-to-fine alignment for B independent problems in one program.
+
+    Same math as `icp_align` with a leading batch axis on every pyramid
+    leaf; the fused Pallas kernel runs BATCHED (`ops.icp_pallas.
+    gn_reduce_batched`, grid (B, n_tiles)) instead of falling back to the
+    XLA stencil — round 4's batched paths forfeited the kernel and
+    collapsed to 6.5% efficiency at B=8; the batched grid holds ~1.0.
+    The surrounding math (projection, flow shift, damped solve) is
+    vmapped jnp code. This is the compute core of `dist.batch_track` and
+    `runtime.batch_session.BatchSession` (multi-sequence throughput, the
+    scaling workload of BASELINE.md:32).
+    """
+    levels = len(src_pyr)
+    B = T_init.shape[0]
+
+    def run_level(T, inliers, sq_sum, k):
+        level_cam = cam.scaled(2.0**k)
+        ci = min(levels - 1 - k, len(cfg.iters) - 1)
+        n_iters = cfg.iters[ci]
+        radius = cfg.window_px[min(ci, len(cfg.window_px) - 1)]
+        h, w = src_pyr[k]["valid"].shape[-2:]
+
+        if _pallas_level(cfg, radius, h, w):
+            from slam_rgbd_tpu.ops import icp_pallas as ip
+
+            th, n_tiles, w_pad = ip.plan_tiles(h, w, radius)
+            srcp = jax.vmap(
+                lambda s: ip.build_source_planes(s, th, n_tiles, w_pad)
+            )(src_pyr[k])
+            interp = jax.default_backend() != "tpu"
+            src_verts = src_pyr[k]["vertices"]
+
+            def mu_of(Tb, sv):
+                _, up, vp, _ = _project_level(Tb, sv, level_cam)
+                return flow_shift(up, vp, h, w)
+
+            def solve(T, H, g, inl):
+                return jax.vmap(
+                    lambda t_, h_, g_, i_: _apply_update(t_, h_, g_, i_, cfg)
+                )(T, H, g, inl)
+
+            if k == levels - 1:
+                # coarsest level: per-iteration flow re-estimate + re-roll
+                # (same rationale as `icp_align`)
+                def body(_, carry):
+                    T, _, _ = carry
+                    mu_u, mu_v = jax.vmap(mu_of)(T, src_verts)
+                    tgtp = jax.vmap(
+                        lambda tl, uu, vv: ip.build_target_planes(
+                            tl, uu, vv, radius, th, n_tiles, w_pad
+                        )
+                    )(tgt_pyr[k], mu_u, mu_v)
+                    scal = jax.vmap(
+                        lambda t_, uu, vv: ip.pack_scalars(t_, uu, vv)[0]
+                    )(T, mu_u, mu_v)
+                    H, g, inl, ss = ip.gn_reduce_batched(
+                        scal, srcp, tgtp, level_cam, cfg, radius, (h, w),
+                        interpret=interp,
+                    )
+                    return (solve(T, H, g, inl), inl, ss)
+            else:
+                mu_u, mu_v = jax.vmap(mu_of)(T, src_verts)
+                tgtp = jax.vmap(
+                    lambda tl, uu, vv: ip.build_target_planes(
+                        tl, uu, vv, radius, th, n_tiles, w_pad
+                    )
+                )(tgt_pyr[k], mu_u, mu_v)
+
+                def body(_, carry, tgtp=tgtp, mu_u=mu_u, mu_v=mu_v):
+                    T, _, _ = carry
+                    scal = jax.vmap(
+                        lambda t_, uu, vv: ip.pack_scalars(t_, uu, vv)[0]
+                    )(T, mu_u, mu_v)
+                    H, g, inl, ss = ip.gn_reduce_batched(
+                        scal, srcp, tgtp, level_cam, cfg, radius, (h, w),
+                        interpret=interp,
+                    )
+                    return (solve(T, H, g, inl), inl, ss)
+        else:
+            level = jax.vmap(lambda s, t: _pack_level(s, t))(
+                src_pyr[k], tgt_pyr[k]
+            )
+
+            def body(_, carry, level=level):
+                T, _, _ = carry
+                return jax.vmap(
+                    lambda t_, lv: _gn_step(t_, lv, level_cam, cfg, radius)
+                )(T, level)
+
+        return jax.lax.fori_loop(0, n_iters, body, (T, inliers, sq_sum))
+
+    k0 = levels - 1
+    zi = jnp.zeros((B,), jnp.int32)
+    zf = jnp.zeros((B,), jnp.float32)
+    n_hyp = min(max(cfg.hypotheses, 1), 3)
+    if n_hyp > 1:
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=T_init.dtype), T_init.shape)
+        cands = [
+            T_init,
+            eye,
+            jax.vmap(lambda t: se3.normalize_rotation(se3.inverse(t)))(T_init),
+        ][:n_hyp]
+        outs = [run_level(c, zi, zf, k0) for c in cands]
+        inl_stack = jnp.stack([o[1] for o in outs])  # (n_hyp, B)
+        best = jnp.argmax(inl_stack, axis=0)  # (B,)
+        bsel = best[None, :]
+        T = jnp.take_along_axis(
+            jnp.stack([o[0] for o in outs]), best[None, :, None, None], axis=0
+        )[0]
+        inliers = jnp.take_along_axis(inl_stack, bsel, axis=0)[0]
+        sq_sum = jnp.take_along_axis(
+            jnp.stack([o[2] for o in outs]), bsel, axis=0
+        )[0]
+    else:
+        T, inliers, sq_sum = run_level(T_init, zi, zf, k0)
+    for k in range(levels - 2, -1, -1):
+        T, inliers, sq_sum = run_level(T, inliers, sq_sum, k)
+
+    valid_src = jnp.sum(src_pyr[0]["valid"], axis=(-2, -1))
+    rmse = jnp.sqrt(sq_sum / jnp.maximum(inliers, 1))
+    return ICPResult(
+        T=T,
+        inliers=inliers,
+        rmse=rmse,
+        valid_fraction=inliers / jnp.maximum(valid_src, 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def track_frame_batched(
+    prev_pyr: tuple,
+    curr_pyr: tuple,
+    T_world_prev: jax.Array,  # (B, 4, 4)
+    T_motion_prior: jax.Array,  # (B, 4, 4)
+    cam: CameraIntrinsics,
+    cfg: ICPConfig,
+):
+    """`track_frame` for B sequences in one program (batched Pallas path).
+
+    Same motion-sanity clamp and constant-velocity composition, applied
+    per sequence."""
+    res = icp_align_batched(curr_pyr, prev_pyr, T_motion_prior, cam, cfg)
+    dt = jnp.linalg.norm(res.T[:, :3, 3], axis=-1)
+    ok_step = (dt <= cfg.max_step_m) & jnp.all(
+        jnp.isfinite(res.T), axis=(-2, -1)
+    )
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=res.T.dtype), res.T.shape)
+    T_rel = jnp.where(ok_step[:, None, None], res.T, eye)
+    if cfg.drift_xi:  # fault injection (see ICPConfig.drift_xi)
+        D = se3.exp(jnp.asarray(cfg.drift_xi, jnp.float32))
+        T_rel = jax.vmap(lambda t: se3.normalize_rotation(t @ D))(T_rel)
+    res = res._replace(
+        T=T_rel,
+        valid_fraction=jnp.where(ok_step, res.valid_fraction, 0.0),
+    )
+    T_world_curr = jax.vmap(
+        lambda a, b: se3.normalize_rotation(a @ b)
+    )(T_world_prev, T_rel)
+    return T_world_curr, T_rel, res
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def track_frame(
     prev_pyr: tuple,
     curr_pyr: tuple,
@@ -437,6 +606,10 @@ def track_frame(
     dt = jnp.linalg.norm(res.T[:3, 3])
     ok_step = (dt <= cfg.max_step_m) & jnp.all(jnp.isfinite(res.T))
     T_rel = jnp.where(ok_step, res.T, jnp.eye(4, dtype=res.T.dtype))
+    if cfg.drift_xi:  # fault injection (see ICPConfig.drift_xi)
+        T_rel = se3.normalize_rotation(
+            T_rel @ se3.exp(jnp.asarray(cfg.drift_xi, jnp.float32))
+        )
     res = res._replace(
         T=T_rel,
         valid_fraction=jnp.where(ok_step, res.valid_fraction, 0.0),

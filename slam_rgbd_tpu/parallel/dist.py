@@ -38,7 +38,7 @@ except ImportError:  # pragma: no cover
 from slam_rgbd_tpu.backend.ba import BAResult, local_ba
 from slam_rgbd_tpu.core import se3
 from slam_rgbd_tpu.core.config import BAConfig, CameraIntrinsics, ICPConfig
-from slam_rgbd_tpu.odometry.icp import icp_align
+from slam_rgbd_tpu.odometry.icp import icp_align_batched
 
 
 # --------------------------------------------------------------------- BA
@@ -107,12 +107,12 @@ def batch_track(
     cfg: ICPConfig,
     data_axis: str = "data",
 ):
-    """Track B sequences concurrently, sharded over the `data` axis."""
-    import dataclasses
+    """Track B sequences concurrently, sharded over the `data` axis.
 
-    # batched tracking uses the XLA ICP backend (the fused Pallas kernel
-    # is single-problem; see `parallel.scaling.batch_scaling`)
-    cfg = dataclasses.replace(cfg, backend="xla")
+    Each device runs the BATCHED fused Pallas path on its local B/n
+    sequence shard (`icp_align_batched`, one (B_local, n_tiles)-grid
+    dispatch) — the data-parallel mesh scales the fast kernel, not the
+    XLA stencil fallback."""
     spec_tree = jax.tree_util.tree_map(lambda _: P(data_axis), src_pyrs)
 
     @functools.partial(
@@ -123,9 +123,7 @@ def batch_track(
         check_vma=False,
     )
     def run(src, tgt, T0):
-        res = jax.vmap(
-            lambda s, t, T: icp_align(s, t, T, cam, cfg)
-        )(src, tgt, T0)
+        res = icp_align_batched(src, tgt, T0, cam, cfg)
         return res.T, res.inliers, res.rmse, res.valid_fraction
 
     return run(src_pyrs, tgt_pyrs, T_init)

@@ -88,25 +88,22 @@ def batch_scaling(
     batches=(1, 2, 4),
     iters: int = 20,
 ) -> list[dict]:
-    """Frames/s at batch sizes B on ONE device (vmapped tracking).
+    """Frames/s at batch sizes B on ONE device (batched tracking).
 
-    Batched paths run the XLA ICP backend: the fused Pallas GN kernel is
-    a single-problem latency design (scratch-DMA windows, ANY-space
-    blocks — not batchable), while under vmap the XLA path's stencil and
-    reductions batch into larger ops whose utilization IS the headroom
-    this measurement exists to expose."""
-    import dataclasses
+    Runs `icp_align_batched`: B problems stream through the fused Pallas
+    GN kernel's (B, n_tiles) grid in one dispatch (round 4's vmapped XLA
+    fallback collapsed to 6.5% efficiency at B=8; the batched kernel
+    holds ~1.0 since each problem keeps the single-problem kernel's
+    speed)."""
+    from slam_rgbd_tpu.odometry.icp import icp_align_batched
 
-    from slam_rgbd_tpu.odometry.icp import icp_align
-
-    cfg = dataclasses.replace(cfg, backend="xla")
     src1, tgt1 = _make_pair(cam, cfg)
     rows = []
     for b in batches:
         src, tgt = _tile_batch(src1, b), _tile_batch(tgt1, b)
         T0 = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
         step = jax.jit(
-            jax.vmap(lambda s, t, T: icp_align(s, t, T, cam, cfg).T)
+            lambda s, t, T: icp_align_batched(s, t, T, cam, cfg).T
         )
         dt = _time_steps(lambda i: step(src, tgt, T0 + i * 1e-7), iters)
         fps = b * iters / dt
@@ -124,9 +121,6 @@ def mesh_scaling(
     iters: int = 10,
 ) -> list[dict]:
     """Frames/s of `dist.batch_track` at mesh sizes {1, 2, 4, ...}."""
-    import dataclasses
-
-    cfg = dataclasses.replace(cfg, backend="xla")  # see batch_scaling
     n_dev = len(jax.devices())
     if mesh_sizes is None:
         mesh_sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]

@@ -49,7 +49,7 @@ from slam_rgbd_tpu.core.config import SLAMConfig
 from slam_rgbd_tpu.features import detect as fdetect
 from slam_rgbd_tpu.features import orb as forb
 from slam_rgbd_tpu.mapping import map as smap
-from slam_rgbd_tpu.odometry.icp import track_frame
+from slam_rgbd_tpu.odometry.icp import track_frame_batched
 from slam_rgbd_tpu.parallel.mesh import make_mesh
 
 
@@ -59,18 +59,29 @@ def _batch_steady(prev_pyr, depth, rgb, T_world, motion, last_kf_T,
     """One tracking step for every sequence: pyramid + coarse-to-fine GN +
     keyframe-decision summary, vmapped over the (sharded) sequence axis."""
 
-    def one(pp, d, c, T, m, kfT):
-        pyr = camera.build_frame_pyramid(d, cam, levels=icp_cfg.levels, rgb=c)
-        T2, m2, res = track_frame(pp, pyr, T, m, cam, icp_cfg)
-        should = smap.should_insert_keyframe(T2, kfT, res.valid_fraction, kcfg)
-        summary = jnp.stack([
-            res.valid_fraction, res.rmse,
-            jnp.all(jnp.isfinite(T2)).astype(jnp.float32),
+    pyr = jax.vmap(
+        lambda d, c: camera.build_frame_pyramid(
+            d, cam, levels=icp_cfg.levels, rgb=c
+        )
+    )(depth, rgb)
+    # tracking runs the BATCHED fused Pallas path (one (B, n_tiles)-grid
+    # dispatch for all sequences) — not a vmapped XLA fallback
+    T2, m2, res = track_frame_batched(
+        prev_pyr, pyr, T_world, motion, cam, icp_cfg
+    )
+
+    def summarize(T2b, kfT, vf, rmse):
+        should = smap.should_insert_keyframe(T2b, kfT, vf, kcfg)
+        return jnp.stack([
+            vf, rmse,
+            jnp.all(jnp.isfinite(T2b)).astype(jnp.float32),
             should.astype(jnp.float32),
         ])
-        return pyr, T2, m2, summary
 
-    return jax.vmap(one)(prev_pyr, depth, rgb, T_world, motion, last_kf_T)
+    summary = jax.vmap(summarize)(
+        T2, last_kf_T, res.valid_fraction, res.rmse
+    )
+    return pyr, T2, m2, summary
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "orb"))
@@ -196,17 +207,11 @@ class BatchSession:
     """
 
     def __init__(self, cfg: SLAMConfig, n_seq: int, mesh=None):
-        import dataclasses
-
-        # Batched tracking runs the XLA ICP backend: the fused Pallas GN
-        # kernel is a single-problem latency design (scratch-DMA windows
-        # are not batchable under vmap); with a sequence batch the XLA
-        # stencil's ops batch into large fused kernels and the batch axis
-        # itself provides the chip utilization.
-        self.cfg = cfg.replace(
-            icp=dataclasses.replace(cfg.icp, backend="xla")
-        )
-        cfg = self.cfg
+        # Tracking runs the BATCHED fused Pallas GN kernel (grid
+        # (B, n_tiles), `ops.icp_pallas.gn_reduce_batched`) — each
+        # sequence keeps the single-problem kernel's speed; association/
+        # BA batch onto the MXU through the vmapped matmuls.
+        self.cfg = cfg
         self.B = n_seq
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         ndev = self.mesh.shape[cfg.mesh.data_axis]

@@ -26,11 +26,21 @@ if TYPE_CHECKING:  # pragma: no cover
     from slam_rgbd_tpu.runtime.session import SLAMSession
 
 
+def _map_fields(m) -> list[str]:
+    """Array-field names of MapState in declaration order."""
+    import dataclasses
+
+    return [f.name for f in dataclasses.fields(m)]
+
+
 def _flatten_state(session: "SLAMSession") -> dict:
     arrays: dict[str, np.ndarray] = {}
-    map_leaves, map_tree = jax.tree_util.tree_flatten(session.map)
-    for i, leaf in enumerate(map_leaves):
-        arrays[f"map_{i}"] = np.asarray(leaf)
+    # Map leaves are keyed BY FIELD NAME (format_version 2): positional
+    # `map_{i}` keys silently misalign whenever MapState gains a field
+    # (adding `kf_sig` mid-struct shifted every later leaf and made v1
+    # checkpoints fail restore with a misleading capacity error).
+    for name in _map_fields(session.map):
+        arrays[f"map.{name}"] = np.asarray(getattr(session.map, name))
     edge_leaves, _ = jax.tree_util.tree_flatten(session.edges)
     for i, leaf in enumerate(edge_leaves):
         arrays[f"edges_{i}"] = np.asarray(leaf)
@@ -56,7 +66,7 @@ def save(session: "SLAMSession", path: str) -> None:
         "loops": session.state.loops,
         "last_kf_idx": session.last_kf_idx,
         "n_kf": session._n_kf_host,
-        "format_version": 1,
+        "format_version": 2,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -69,17 +79,43 @@ def restore(session: "SLAMSession", path: str) -> "SLAMSession":
         meta = json.load(f)
     data = np.load(os.path.join(path, "state.npz"))
 
-    map_leaves, map_tree = jax.tree_util.tree_flatten(session.map)
-    new_map_leaves = []
-    for i, leaf in enumerate(map_leaves):
-        arr = data[f"map_{i}"]
-        if arr.shape != leaf.shape:
+    version = meta.get("format_version", 1)
+    fields = _map_fields(session.map)
+    if version >= 2:
+        named = {name: data[f"map.{name}"] for name in fields}
+    else:
+        # v1 layout: positional map_{i} keys in field order, saved before
+        # `kf_sig` existed — map positionally over the OLD field list and
+        # backfill the signature rows from the restored descriptors.
+        old_fields = [f for f in fields if f != "kf_sig"]
+        if len([k for k in data.files if k.startswith("map_")]) != len(
+            old_fields
+        ):
             raise ValueError(
-                f"checkpoint shape mismatch for map leaf {i}: "
-                f"{arr.shape} vs {leaf.shape} — config capacities must match"
+                "unrecognized v1 checkpoint layout: "
+                f"{len([k for k in data.files if k.startswith('map_')])} "
+                f"map leaves vs {len(old_fields)} known fields"
             )
-        new_map_leaves.append(jnp.asarray(arr))
-    session.map = jax.tree_util.tree_unflatten(map_tree, new_map_leaves)
+        named = {name: data[f"map_{i}"] for i, name in enumerate(old_fields)}
+    for name in fields:
+        if name not in named:
+            continue
+        want = getattr(session.map, name)
+        if named[name].shape != tuple(want.shape):
+            raise ValueError(
+                f"checkpoint shape mismatch for map.{name}: "
+                f"{named[name].shape} vs {tuple(want.shape)} — config "
+                "capacities must match"
+            )
+    session.map = session.map.replace(
+        **{name: jnp.asarray(arr) for name, arr in named.items()}
+    )
+    if version < 2:
+        from slam_rgbd_tpu.backend.loop import place_signatures
+
+        session.map = session.map.replace(
+            kf_sig=place_signatures(session.map)
+        )
 
     edge_leaves, edge_tree = jax.tree_util.tree_flatten(session.edges)
     session.edges = jax.tree_util.tree_unflatten(

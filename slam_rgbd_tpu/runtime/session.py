@@ -291,7 +291,10 @@ class SLAMSession:
         # pins the XLA matching path.
         self._mesh = mesh
         self._match_backend = "auto"
-        if mesh is not None and mesh.shape[config.mesh.model_axis] > 1:
+        # a mesh without a `model` axis (e.g. a data-only BatchSession
+        # mesh) cleanly selects the unsharded path instead of KeyError
+        if (mesh is not None
+                and dict(mesh.shape).get(config.mesh.model_axis, 1) > 1):
             import dataclasses as _dc
 
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -417,6 +420,13 @@ class SLAMSession:
             allow_loop=True,
         )
         jax.block_until_ready((r0.kf_pose, r1.kf_pose))
+        # global-BA-after-loop program (host-gated on an actual closure,
+        # so the fused pass above never traces it)
+        if cfg.ba.global_ba_iters > 0:
+            gk, _gp, _gs, _gr, _gok = bworker._global_ba_program(
+                self.map.kf_pose, self.map.pt_xyz, self.map, cfg
+            )
+            jax.block_until_ready(gk)
         # loop-edge append at merge time (weight-5 edge, traced indices)
         e2, _n2 = self.edges.add(self.n_edges, 0, 1, jnp.eye(4), 5.0)
         jax.block_until_ready(e2.T_meas)

@@ -102,6 +102,95 @@ def test_gn_reduce_radius4_unaligned_width():
     _compare(cam, cfg, 4, jnp.eye(4), src, tgt)
 
 
+def test_gn_reduce_batched_matches_single():
+    """Grid-(B, n_tiles) batched kernel == B single-problem dispatches,
+    bit-for-bit (same tile schedule; different scenes AND poses per
+    problem so the batch axis carries real variation)."""
+    cam = CameraIntrinsics(
+        fx=120.0, fy=120.0, cx=127.5, cy=63.5, width=256, height=128
+    )
+    cfg = ICPConfig(levels=1, iters=(2,), window_px=(2,))
+    radius = 2
+    h, w = cam.height, cam.width
+    th, n_tiles, w_pad = ip.plan_tiles(h, w, radius)
+    Ts = [
+        jnp.eye(4).at[0, 3].set(0.01),
+        jnp.eye(4).at[1, 3].set(-0.008).at[2, 3].set(0.004),
+    ]
+    srcs, tgts, scals, singles = [], [], [], []
+    for i, T in enumerate(Ts):
+        src, tgt = _scene(cam, shift=(i + 1, 2 - i), seed=10 + i)
+        srcs.append(ip.build_source_planes(src, th, n_tiles, w_pad))
+        tgts.append(
+            ip.build_target_planes(
+                tgt, jnp.int32(0), jnp.int32(0), radius, th, n_tiles, w_pad
+            )
+        )
+        scals.append(ip.pack_scalars(T, jnp.float32(0), jnp.float32(0)))
+        singles.append(
+            ip.gn_reduce(
+                scals[-1], srcs[-1], tgts[-1], cam, cfg, radius, (h, w),
+                interpret=True,
+            )
+        )
+    Hb, gb, ib, sb = ip.gn_reduce_batched(
+        jnp.concatenate(scals), jnp.stack(srcs), jnp.stack(tgts),
+        cam, cfg, radius, (h, w), interpret=True,
+    )
+    for i, (H, g, inl, sq) in enumerate(singles):
+        assert int(inl) == int(ib[i])
+        np.testing.assert_array_equal(np.asarray(H), np.asarray(Hb[i]))
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(gb[i]))
+        np.testing.assert_array_equal(float(sq), float(sb[i]))
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_icp_align_batched_matches_per_item(backend):
+    """`icp_align_batched` == per-item `icp_align` on both GN backends
+    (the batched program is what `batch_track`/`BatchSession` run)."""
+    cam = CameraIntrinsics(
+        fx=90.0, fy=90.0, cx=63.5, cy=47.5, width=128, height=96
+    )
+    cfg = ICPConfig(
+        levels=2, iters=(3, 2), window_px=(4, 2), backend=backend
+    )
+    import jax as _jax
+
+    srcs, tgts = [], []
+    for i in range(2):
+        rng_shift = [(1, 2), (-2, 1)][i]
+        h, w = cam.height, cam.width
+        u, v = np.meshgrid(np.arange(w), np.arange(h))
+        depth = (
+            1300 + 350 * np.sin(u / 12.0 + i) * np.cos(v / 9.0)
+        ).astype(np.uint16)
+        rgb = (
+            (128 + 100 * np.cos(u / 4.0) * np.sin(v / 6.0 + i))
+            .clip(0, 255).astype(np.uint8)[..., None].repeat(3, -1)
+        )
+        tgts.append(camera.build_frame_pyramid(
+            jnp.asarray(depth), cam, levels=2, rgb=jnp.asarray(rgb)
+        ))
+        srcs.append(camera.build_frame_pyramid(
+            jnp.asarray(np.roll(depth, rng_shift, (0, 1))), cam, levels=2,
+            rgb=jnp.asarray(np.roll(rgb, rng_shift, (0, 1))),
+        ))
+    T0s = [jnp.eye(4), jnp.eye(4).at[0, 3].set(0.005)]
+    singles = [
+        icp.icp_align(srcs[i], tgts[i], T0s[i], cam, cfg) for i in range(2)
+    ]
+    src_b = _jax.tree.map(lambda *xs: jnp.stack(xs), *srcs)
+    tgt_b = _jax.tree.map(lambda *xs: jnp.stack(xs), *tgts)
+    rb = icp.icp_align_batched(src_b, tgt_b, jnp.stack(T0s), cam, cfg)
+    for i, r in enumerate(singles):
+        np.testing.assert_allclose(
+            np.asarray(rb.T[i]), np.asarray(r.T), atol=1e-5
+        )
+        assert abs(int(rb.inliers[i]) - int(r.inliers)) <= max(
+            2, 0.02 * int(r.inliers)
+        )
+
+
 def test_icp_align_pallas_matches_xla_pose():
     cam = CameraIntrinsics(fx=90.0, fy=90.0, cx=63.5, cy=47.5, width=128, height=96)
     common = dict(levels=2, iters=(4, 3), window_px=(4, 2))

@@ -277,6 +277,50 @@ class TestCheckpoint:
         rmse, _, _ = ate_rmse(est, seq.groundtruth())
         assert rmse < 0.03
 
+    def test_v1_layout_migrates(self, tmp_path):
+        """A round-3-era checkpoint (positional map_{i} keys, no kf_sig
+        leaf) restores: leaves map by OLD field order and kf_sig is
+        backfilled from the descriptor store."""
+        import dataclasses
+        import json
+
+        from slam_rgbd_tpu.backend.loop import place_signatures
+
+        cfg = small_config()
+        seq = SyntheticSequence(8, CAM, step_t=0.015)
+        sess = SLAMSession(cfg)
+        for i in range(8):
+            sess.process_frame(*seq.frame(i))
+        ckpt = str(tmp_path / "ckpt")
+        checkpoint.save(sess, ckpt)
+
+        # rewrite the archive to the v1 layout
+        data = dict(np.load(ckpt + "/state.npz"))
+        old_fields = [
+            f.name for f in dataclasses.fields(sess.map)
+            if f.name != "kf_sig"
+        ]
+        v1 = {k: v for k, v in data.items() if not k.startswith("map.")}
+        for i, name in enumerate(old_fields):
+            v1[f"map_{i}"] = data[f"map.{name}"]
+        np.savez_compressed(ckpt + "/state.npz", **v1)
+        with open(ckpt + "/meta.json") as f:
+            meta = json.load(f)
+        meta["format_version"] = 1
+        with open(ckpt + "/meta.json", "w") as f:
+            json.dump(meta, f)
+
+        sess2 = checkpoint.restore(SLAMSession(cfg), ckpt)
+        assert int(sess2.map.n_kf) == int(sess.map.n_kf)
+        np.testing.assert_allclose(
+            np.asarray(sess2.map.kf_pose), np.asarray(sess.map.kf_pose)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sess2.map.kf_sig),
+            np.asarray(place_signatures(sess2.map)),
+            atol=1e-6,
+        )
+
     def test_capacity_mismatch_rejected(self, tmp_path):
         cfg = small_config()
         sess = SLAMSession(cfg)
