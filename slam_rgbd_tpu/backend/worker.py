@@ -44,6 +44,7 @@ from slam_rgbd_tpu.backend import loop as loop_mod
 from slam_rgbd_tpu.backend import pose_graph as pg_mod
 from slam_rgbd_tpu.core import se3
 from slam_rgbd_tpu.core.config import SLAMConfig
+from slam_rgbd_tpu.features import match as fmatch
 from slam_rgbd_tpu.mapping import map as smap
 
 log = logging.getLogger("slam_rgbd_tpu.backend")
@@ -79,6 +80,14 @@ class BackendResult:
     # global-BA refinement after an accepted loop (reprojection RMSE px
     # before/after; -1 = did not run)
     global_ba_rmse: float = -1.0
+    # landmark fusion across the accepted loop (`_loop_fuse_program`):
+    # the query keyframe's re-pointed observation row, ghost duplicates to
+    # invalidate, and the observation-count delta — merged into the live
+    # map by `SLAMSession._apply_backend`. None when no loop closed.
+    fuse_row: Optional[jax.Array] = None  # (K,) int32
+    pt_invalidate: Optional[jax.Array] = None  # (P,) bool
+    pt_nobs_delta: Optional[jax.Array] = None  # (P,) int32
+    n_fused: int = 0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "run_ba"))
@@ -218,11 +227,82 @@ def _backend_program(
     return kf_pose, pt_xyz, pt_adjusted, T_rel, stats
 
 
+@jax.jit
+def _loop_fuse_program(
+    m: smap.MapState,
+    query_idx: jax.Array,  # () int32 — the loop's query keyframe (= snap)
+    cand_idx: jax.Array,  # () int32 — the matched old keyframe
+    T_rel: jax.Array,  # (4, 4) verified query-cam -> cand-cam transform
+):
+    """Landmark fusion across an accepted loop — the `CorrectLoop`/`Fuse`
+    step ORB-SLAM3 runs before its post-loop GlobalBundleAdjustment
+    (capability delegated at `SLAM.cpp:54`).
+
+    The loop fired precisely BECAUSE map association failed on the
+    revisit: the query keyframe spawned fresh duplicate landmarks instead
+    of re-observing the candidate's. Without fusing them, the observation
+    graph contains no cross-loop constraint, and a subsequent global BA —
+    reprojection-only — relaxes the pose-graph correction straight back
+    toward drifted odometry (measured: it cancelled the entire ATE gain).
+    Fusion re-points the query keyframe's verified matches at the
+    candidate's map points, so the two ends of the loop share
+    observations and global BA *refines* the closure instead of undoing
+    it.
+
+    Returns (point_id_fused (M, K) — the snapshot's observation graph
+    with the query row re-pointed and ghost references cleared, for the
+    global-BA pass; fuse_row (K,); ghost (P,) bool — duplicate points
+    spawned by the query whose only observation was just re-pointed;
+    nobs_delta (P,) int32; n_fused ()).
+    """
+    s1 = m.kp_signs[query_idx]
+    ok1 = m.kp_ok[query_idx]
+    s2 = m.kp_signs[cand_idx]
+    ok2 = m.kp_ok[cand_idx]
+    mt = fmatch.match(s1, ok1, s2, ok2, max_distance=64.0, ratio=0.9)
+    p1 = m.kp_pts[query_idx]
+    p2 = m.kp_pts[cand_idx][mt.idx2]
+    # inlier gate consistent with verification's rmse bound: the match
+    # must agree with the verified loop transform to 6 cm
+    pred = p1 @ T_rel[:3, :3].T + T_rel[:3, 3]
+    inl = mt.valid & (jnp.linalg.norm(pred - p2, axis=-1) < 0.06)
+    q_row = m.point_id[query_idx]  # (K,)
+    cand_pid = m.point_id[cand_idx][mt.idx2]  # (K,)
+    fuse = inl & (cand_pid >= 0) & (q_row != cand_pid)
+    fuse_row = jnp.where(fuse, cand_pid, q_row)
+
+    P = m.capacity_pt
+    gain = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(fuse, cand_pid, P)
+    ].add(1, mode="drop")
+    lose = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(fuse & (q_row >= 0), q_row, P)
+    ].add(1, mode="drop")
+    delta = gain - lose
+    # ghost duplicates: spawned by the query keyframe itself (the newest
+    # snapshot keyframe — nothing later can have observed them inside the
+    # snapshot) and now unobserved
+    ghost = (
+        m.pt_valid
+        & (m.pt_first_kf == query_idx)
+        & (lose > 0)
+        & (m.pt_nobs + delta <= 0)
+    )
+    pid = m.point_id.at[query_idx].set(fuse_row)
+    flag = jnp.concatenate([ghost, jnp.zeros((1,), bool)])
+    ref_ghost = flag[jnp.where(pid >= 0, pid, P)]
+    pid = jnp.where(ref_ghost, -1, pid)
+    return pid, fuse_row, ghost, delta, jnp.sum(fuse)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _global_ba_program(
     kf_pose: jax.Array,  # (M, 4, 4) post-pose-graph poses
     pt_xyz: jax.Array,  # (P, 3) post-correction points
-    m: smap.MapState,  # snapshot (observation grid + validity)
+    point_id: jax.Array,  # (M, K) observation graph (loop-FUSED — see
+    # `_loop_fuse_program`: without the fused cross-loop observations this
+    # solve has no constraint across the closure and relaxes it away)
+    m: smap.MapState,  # snapshot (feature arrays + validity)
     cfg: SLAMConfig,
 ):
     """Full-map BA after an accepted loop — the GlobalBundleAdjustment
@@ -249,17 +329,27 @@ def _global_ba_program(
         max_points_per_window=cfg.ba.global_ba_points,
     )
     res = ba_mod._windowed_single(
-        kf_pose, valid, pt_xyz, m.kp_uv, m.kp_pts[..., 2], m.point_id,
+        kf_pose, valid, pt_xyz, m.kp_uv, m.kp_pts[..., 2], point_id,
         m.kp_ok & valid[:, None], cfg.camera, gcfg, free,
     )
     pt_finite = jnp.all(jnp.isfinite(res.pt_xyz), axis=-1)
-    ok = jnp.all(jnp.isfinite(res.kf_pose)) & (res.rmse_px < 1e3)
+    # trust-region acceptance: the solve must REFINE the pose-graph
+    # state, not relocate it (see BAConfig.global_ba_max_move)
+    move = jnp.linalg.norm(
+        res.kf_pose[:, :3, 3] - kf_pose[:, :3, 3], axis=-1
+    )
+    dmax = jnp.max(jnp.where(valid, move, 0.0))
+    ok = (
+        jnp.all(jnp.isfinite(res.kf_pose))
+        & (res.rmse_px < 1e3)
+        & (dmax <= cfg.ba.global_ba_max_move)
+    )
     kf_out = jnp.where(ok, res.kf_pose, kf_pose)
     pt_out = jnp.where(
         (ok & res.pt_solved & pt_finite)[:, None], res.pt_xyz, pt_xyz
     )
     solved = ok & res.pt_solved & pt_finite
-    return kf_out, pt_out, solved, res.rmse_px, ok
+    return kf_out, pt_out, solved, res.rmse_px, ok, dmax
 
 
 def backend_pass(
@@ -289,20 +379,44 @@ def backend_pass(
     )
     s = np.asarray(stats)  # the ONE blocking device->host fetch
     global_rmse = -1.0
-    if s[6] > 0.5 and cfg.ba.global_ba_iters > 0 and n_kf >= 3:
-        # global map refinement over the pose-graph-corrected state
-        # (loop closures are rare — the extra dispatch + fetch is off the
-        # steady-state path; compiled at warmup)
-        kf_pose, pt_xyz, g_solved, g_rmse, g_ok = _global_ba_program(
-            kf_pose, pt_xyz, m, cfg
+    fuse_row = pt_invalidate = nobs_delta = None
+    n_fused = 0
+    if s[6] > 0.5:
+        # landmark fusion across the accepted loop BEFORE any global
+        # refinement: the closure exists because association failed, so
+        # the two ends share no observations until the query keyframe's
+        # verified matches are re-pointed at the candidate's landmarks
+        pid_fused, fuse_row, pt_invalidate, nobs_delta, nf = (
+            _loop_fuse_program(
+                m, jnp.int32(kf_idx), jnp.int32(int(s[4])), T_rel
+            )
         )
-        pt_adjusted = pt_adjusted | g_solved
-        gs = np.asarray(jnp.stack([g_rmse, g_ok.astype(jnp.float32)]))
-        global_rmse = float(gs[0]) if gs[1] > 0.5 else -1.0
+        n_fused = int(nf)
+        if cfg.ba.global_ba_iters > 0 and n_kf >= 3:
+            # global map refinement over the pose-graph-corrected state
+            # with the fused observation graph (loop closures are rare —
+            # the extra dispatch + fetch is off the steady-state path;
+            # compiled at warmup)
+            kf_pose, pt_xyz, g_solved, g_rmse, g_ok, g_move = (
+                _global_ba_program(kf_pose, pt_xyz, pid_fused, m, cfg)
+            )
+            pt_adjusted = pt_adjusted | g_solved
+            gs = np.asarray(jnp.stack(
+                [g_rmse, g_ok.astype(jnp.float32), g_move]
+            ))
+            global_rmse = float(gs[0]) if gs[1] > 0.5 else -1.0
+            if gs[1] < 0.5:
+                log.info(
+                    "global BA rejected (max keyframe move %.2f m, rmse "
+                    "%.2f px) — keeping the pose-graph state",
+                    float(gs[2]), float(gs[0]),
+                )
     out = BackendResult(
         snap_kf_idx=kf_idx, kf_pose=kf_pose, pt_xyz=pt_xyz,
         pt_adjusted=pt_adjusted, ba_rmse=float(s[0]),
-        global_ba_rmse=global_rmse,
+        global_ba_rmse=global_rmse, fuse_row=fuse_row,
+        pt_invalidate=pt_invalidate, pt_nobs_delta=nobs_delta,
+        n_fused=n_fused,
     )
     if int(s[2]):
         log.info("BA window point budget overflow: %d points excluded", int(s[2]))
@@ -310,8 +424,9 @@ def backend_pass(
         out.loop_edge = (int(s[4]), kf_idx, T_rel, 5.0)
         out.loop_closed = True
         log.info(
-            "loop closed: KF%d -> KF%d (%d inliers); global BA rmse %.2f px",
-            kf_idx, int(s[4]), int(s[7]), global_rmse,
+            "loop closed: KF%d -> KF%d (%d inliers, %d landmarks fused); "
+            "global BA rmse %.2f px",
+            kf_idx, int(s[4]), int(s[7]), n_fused, global_rmse,
         )
     elif s[9] > 0.5:  # verified but rejected by the consistency gate
         log.warning(

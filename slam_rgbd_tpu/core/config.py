@@ -227,6 +227,15 @@ class BAConfig:
     # observes the whole map; the least-observed overflow is excluded,
     # same policy as the local window).
     global_ba_points: int = 8192
+    # Trust region for accepting the global solve: reject it (keep the
+    # pose-graph state) if any keyframe moved further than this from its
+    # pose-graph-corrected init. A reprojection-only global BA is well
+    # conditioned only when landmarks are co-observed by many keyframes;
+    # on a weakly-coupled chain (sparse revisits) its near-null gauge
+    # directions let whole segments wander coherently — measured: it
+    # relocated early keyframes ~22 cm and cancelled the pose graph's
+    # ATE gain. Refinement should refine, not relocate.
+    global_ba_max_move: float = 0.15
 
 
 @dataclass(frozen=True)

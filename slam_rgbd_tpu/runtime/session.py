@@ -189,6 +189,29 @@ def _reloc_jit(m, signs, ok, pts, T_est, cfg, match_backend="auto"):
     return T_fixed, C, stats
 
 
+@jax.jit
+def _fuse_merge(m, snap, cand, fuse_row, ghost, delta, n_fused):
+    """Merge a loop's landmark fusion (`worker._loop_fuse_program`) into
+    the live map: re-point the query keyframe's observation row, clear
+    ALL references to ghost duplicates (keyframes inserted after the
+    snapshot may have re-observed them — the live-wide flag pass handles
+    those rows too), update observation counts, and record the loop pair
+    as covisible — which also retires the pair from future loop
+    candidacy via `find_loop_candidate`'s covis gate."""
+    P = m.capacity_pt
+    pid = m.point_id.at[snap].set(fuse_row)
+    flag = jnp.concatenate([ghost, jnp.zeros((1,), bool)])
+    ref = flag[jnp.where(pid >= 0, pid, P)]
+    pid = jnp.where(ref, -1, pid)
+    pt_valid = m.pt_valid & ~ghost
+    nobs = jnp.where(ghost, 0, jnp.maximum(m.pt_nobs + delta, 0))
+    covis = m.covis.at[snap, cand].add(n_fused).at[cand, snap].add(n_fused)
+    return m.replace(
+        point_id=pid, pt_valid=pt_valid, pt_nobs=nobs,
+        n_pt=jnp.sum(pt_valid).astype(jnp.int32), covis=covis,
+    )
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _traj_append(buf_T, buf_kfT, i, T, kfT):
     """Scatter one frame's (pose, reference-KF pose) into the device-side
@@ -420,11 +443,19 @@ class SLAMSession:
             allow_loop=True,
         )
         jax.block_until_ready((r0.kf_pose, r1.kf_pose))
-        # global-BA-after-loop program (host-gated on an actual closure,
-        # so the fused pass above never traces it)
+        # loop-fusion + global-BA-after-loop programs (host-gated on an
+        # actual closure, so the fused pass above never traces them)
+        pidf, frow, gh, dl, _nf = bworker._loop_fuse_program(
+            self.map, jnp.int32(0), jnp.int32(0), jnp.eye(4)
+        )
+        fm = _fuse_merge(
+            self.map, jnp.int32(0), jnp.int32(0), frow, gh, dl,
+            jnp.int32(0),
+        )
+        jax.block_until_ready(fm.point_id)
         if cfg.ba.global_ba_iters > 0:
-            gk, _gp, _gs, _gr, _gok = bworker._global_ba_program(
-                self.map.kf_pose, self.map.pt_xyz, self.map, cfg
+            gk, _gp, _gs, _gr, _gok, _gmv = bworker._global_ba_program(
+                self.map.kf_pose, self.map.pt_xyz, pidf, self.map, cfg
             )
             jax.block_until_ready(gk)
         # loop-edge append at merge time (weight-5 edge, traced indices)
@@ -822,6 +853,12 @@ class SLAMSession:
             self.edges, self.n_edges = self.edges.add(
                 self.n_edges, i, j, T_rel, weight=weight
             )
+            if r.fuse_row is not None:
+                self.map = _fuse_merge(
+                    self.map, jnp.int32(r.snap_kf_idx), jnp.int32(i),
+                    r.fuse_row, r.pt_invalidate, r.pt_nobs_delta,
+                    jnp.int32(r.n_fused),
+                )
             self.state.loops += 1
             self._last_loop_kf = max(self._last_loop_kf, r.snap_kf_idx)
             self._loop_gen += 1  # older snapshots can no longer merge

@@ -537,3 +537,164 @@ class TestLoopClosure:
         m, _ = self._map_with_revisit(rng)
         cand = loop.find_loop_candidate(m, jnp.int32(3), min_interval=20)
         assert not bool(cand.ok)
+
+
+class TestLoopFusionAndGlobalBA:
+    """Landmark fusion across an accepted loop + the post-loop global BA
+    (the CorrectLoop/Fuse -> GlobalBundleAdjustment chain ORB-SLAM3 runs
+    behind `SLAM.cpp:54`)."""
+
+    def _cfg(self, **ba_kw):
+        from slam_rgbd_tpu.core.config import ORBConfig, SLAMConfig
+
+        return SLAMConfig(
+            camera=CAM, orb=ORBConfig(n_features=K, n_levels=2),
+            keyframes=KCFG,
+            ba=BAConfig(window=4, iters=4, global_ba_iters=8,
+                        global_ba_points=512, **ba_kw),
+        )
+
+    def _rich_map(self, rng, n_kf=6):
+        """Map where every keyframe re-observes the SAME point set (rich
+        covisibility — the well-conditioned case for a global solve)."""
+        m = smap.empty_map(KCFG, K)
+        pts_w = _make_world(rng, K)
+        signs = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+        poses = []
+        T = np.eye(4, dtype=np.float32)
+        pid0 = None
+        for i in range(n_kf):
+            poses.append(T.copy())
+            uv, pc, ok = _observe(T, pts_w)
+            match = (np.full((K,), -1, np.int32) if pid0 is None
+                     else np.where(ok, pid0, -1).astype(np.int32))
+            m = smap.insert_keyframe(
+                m, jnp.asarray(poses[-1]), float(i), jnp.asarray(uv),
+                jnp.asarray(pc), jnp.asarray(ok), jnp.asarray(signs),
+                jnp.asarray(match))
+            if pid0 is None:
+                pid0 = np.asarray(m.point_id[0])
+            T = T @ np.asarray(se3.exp(jnp.asarray(
+                np.array([0.06, 0.01, 0.02, 0.008, 0.025, 0.004], np.float32))))
+        return m, np.stack(poses), pts_w
+
+    def test_global_ba_refines_well_constrained(self, rng):
+        """With rich covisibility, the global solve is ACCEPTED by the
+        trust-region gate and lowers both reprojection RMSE and pose
+        error vs its (perturbed) init — VERDICT r4 item 4's 'global BA
+        lowers reprojection RMSE and ATE' evidence."""
+        from slam_rgbd_tpu.backend import worker as bworker
+
+        m, poses_gt, pts_w = self._rich_map(rng)
+        cfg = self._cfg()
+        kf_init = np.asarray(m.kf_pose).copy()
+        for w in range(1, 6):
+            xi = rng.normal(size=6).astype(np.float32) * np.array(
+                [0.02, 0.02, 0.02, 0.008, 0.008, 0.008], np.float32)
+            kf_init[w] = kf_init[w] @ np.asarray(se3.exp(jnp.asarray(xi)))
+        pt_init = np.asarray(m.pt_xyz) + rng.normal(
+            size=(m.capacity_pt, 3)).astype(np.float32) * 0.02
+
+        kf_out, pt_out, solved, rmse, ok, dmax = bworker._global_ba_program(
+            jnp.asarray(kf_init), jnp.asarray(pt_init), m.point_id, m, cfg)
+        assert bool(ok), f"global BA rejected (move {float(dmax):.3f} m)"
+        assert float(rmse) < 0.5, f"global BA rmse {float(rmse):.2f} px"
+        err0 = [np.linalg.norm((np.linalg.inv(poses_gt[w]) @ kf_init[w])[:3, 3])
+                for w in range(1, 6)]
+        err1 = [np.linalg.norm(
+                    (np.linalg.inv(poses_gt[w]) @ np.asarray(kf_out[w]))[:3, 3])
+                for w in range(1, 6)]
+        assert np.mean(err1) < 0.25 * np.mean(err0), (err0, err1)
+
+    def test_global_ba_trust_region_rejects_relocation(self, rng):
+        """A solve that tries to move keyframes beyond the trust region is
+        rejected and the init poses pass through untouched."""
+        from slam_rgbd_tpu.backend import worker as bworker
+
+        m, poses_gt, pts_w = self._rich_map(rng)
+        cfg = self._cfg(global_ba_max_move=1e-6)  # everything rejects
+        kf_init = np.asarray(m.kf_pose).copy()
+        kf_init[3] = kf_init[3] @ np.asarray(se3.exp(jnp.asarray(
+            np.array([0.05, 0, 0, 0, 0, 0], np.float32))))
+        kf_out, pt_out, solved, rmse, ok, dmax = bworker._global_ba_program(
+            jnp.asarray(kf_init), m.pt_xyz, m.point_id, m, cfg)
+        assert not bool(ok)
+        np.testing.assert_allclose(np.asarray(kf_out), kf_init, atol=0)
+        assert not bool(jnp.any(solved))
+
+    def _dup_map(self, rng):
+        """Candidate KF0 then (after filler KFs) query KF3 observing the
+        SAME world points from a revisited pose — but associated as
+        brand-new duplicates (match_pid = -1), the association-failure
+        state an accepted loop finds itself in."""
+        m = smap.empty_map(KCFG, K)
+        pts_w = _make_world(rng, K)
+        signs = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+        T0 = np.eye(4, dtype=np.float32)
+        uv, pc, ok0 = _observe(T0, pts_w)
+        m = smap.insert_keyframe(m, jnp.asarray(T0), 0.0, jnp.asarray(uv),
+                                 jnp.asarray(pc), jnp.asarray(ok0),
+                                 jnp.asarray(signs),
+                                 jnp.full((K,), -1, jnp.int32))
+        # two filler keyframes far away (different texture)
+        T = T0.copy()
+        for i in (1, 2):
+            T = T @ np.asarray(se3.exp(jnp.asarray(
+                np.array([0.5, 0, 0, 0, 0.6, 0], np.float32))))
+            fsig = rng.choice([-1, 1], size=(K, 256)).astype(np.int8)
+            uvf, pcf, okf = _observe(T, pts_w)
+            m = smap.insert_keyframe(m, jnp.asarray(T), float(i),
+                                     jnp.asarray(uvf), jnp.asarray(pcf),
+                                     jnp.asarray(okf), jnp.asarray(fsig),
+                                     jnp.full((K,), -1, jnp.int32))
+        # query: revisit T0 slightly offset, same descriptors, but spawn
+        # duplicates (association failed)
+        Tq = T0 @ np.asarray(se3.exp(jnp.asarray(
+            np.array([0.02, 0, 0.01, 0, 0.008, 0], np.float32))))
+        uvq, pcq, okq = _observe(Tq, pts_w)
+        m = smap.insert_keyframe(m, jnp.asarray(Tq), 3.0, jnp.asarray(uvq),
+                                 jnp.asarray(pcq), jnp.asarray(okq),
+                                 jnp.asarray(signs),
+                                 jnp.full((K,), -1, jnp.int32))
+        T_rel = np.linalg.inv(T0) @ Tq  # query-cam -> cand-cam
+        return m, jnp.asarray(T_rel.astype(np.float32)), ok0, okq
+
+    def test_loop_fusion_repoints_and_kills_ghosts(self, rng):
+        from slam_rgbd_tpu.backend import worker as bworker
+        from slam_rgbd_tpu.runtime.session import _fuse_merge
+
+        m, T_rel, ok0, okq = self._dup_map(rng)
+        n_pt_before = int(m.n_pt)
+        pid_q_before = np.asarray(m.point_id[3])
+        pid_c = np.asarray(m.point_id[0])
+        pidf, fuse_row, ghost, delta, n_fused = bworker._loop_fuse_program(
+            m, jnp.int32(3), jnp.int32(0), T_rel)
+        n_fused = int(n_fused)
+        both = ok0 & okq
+        assert n_fused >= 0.8 * both.sum(), (n_fused, both.sum())
+        fr = np.asarray(fuse_row)
+        fused_mask = fr != pid_q_before
+        # re-pointed entries point at the CANDIDATE's landmark ids
+        assert np.array_equal(fr[fused_mask], pid_c[fused_mask])
+        # every displaced duplicate (spawned by the query, now unobserved)
+        # is flagged as a ghost
+        gh = np.asarray(ghost)
+        assert gh.sum() == n_fused
+        assert np.all(np.asarray(m.pt_first_kf)[gh] == 3)
+        # the snapshot graph used by global BA has the query row re-pointed
+        assert np.array_equal(np.asarray(pidf[3]), fr)
+
+        # merge into the live map: ghosts invalidated + references cleared,
+        # observation counts moved, loop pair recorded covisible
+        m2 = _fuse_merge(m, jnp.int32(3), jnp.int32(0), fuse_row, ghost,
+                         delta, jnp.int32(n_fused))
+        assert int(m2.n_pt) == n_pt_before - n_fused
+        assert not bool(jnp.any(m2.pt_valid & ghost))
+        live_ref = np.asarray(m2.point_id)
+        assert not np.any(gh[live_ref[live_ref >= 0]])
+        assert int(m2.covis[3, 0]) >= n_fused
+        assert int(m2.covis[0, 3]) >= n_fused
+        # fused landmarks gained the re-pointed observation
+        gained = np.asarray(m2.pt_nobs)[pid_c[fused_mask]]
+        before = np.asarray(m.pt_nobs)[pid_c[fused_mask]]
+        assert np.all(gained == before + 1)

@@ -255,6 +255,56 @@ class TestSLAMSession:
         assert sess.state.frames == 1
 
 
+class TestLoopClosureEndToEnd:
+    def test_drift_revisit_closes_loops_and_recovers_ate(self):
+        """The FULL loop pipeline on the timed path (VERDICT r4 item 3):
+        miscalibrated odometry (`ICPConfig.drift_xi`) accumulates real
+        drift over an out-and-back sweep, the revisit fails map
+        association, and the candidate -> verify -> consistency -> pose
+        graph -> landmark fusion chain must engage and measurably recover
+        trajectory accuracy vs the same run with loop closure disabled."""
+        import dataclasses
+
+        from slam_rgbd_tpu.core.config import BAConfig as _BA
+
+        drift = (0.006, 0.0, 0.003, 0.0, 0.003, 0.0)
+
+        def cfg_with(loop_on):
+            base = small_config()
+            return base.replace(
+                icp=dataclasses.replace(base.icp, drift_xi=drift),
+                keyframes=dataclasses.replace(
+                    base.keyframes, max_keyframes=64, max_map_points=8192,
+                    kf_min_trans=0.02, kf_min_rot_deg=2.0),
+                ba=_BA(window=4, iters=4, loop_min_interval=4,
+                       loop_cooldown_kf=2,
+                       loop_min_score=(0.20 if loop_on else 2.0)),
+            )
+
+        seq = SyntheticSequence(100, CAM, step_t=0.015, step_r=0.012,
+                                sweep=True)
+        gt = seq.groundtruth()
+        frames = [seq.frame(i) for i in range(len(seq))]
+        ate = {}
+        loops = {}
+        for loop_on in (False, True):
+            sess = SLAMSession(cfg_with(loop_on))
+            for ts, d, c in frames:
+                sess.process_frame(ts, d, c)
+            sess.sync_backend(final_pass=True)
+            _, est = sess.poses()
+            rmse, _, _ = ate_rmse(est, gt[: len(est)])
+            ate[loop_on] = rmse
+            loops[loop_on] = sess.state.loops
+        assert loops[False] == 0
+        assert loops[True] >= 1, "no loop closed under injected drift"
+        assert ate[False] > 0.06, (
+            f"drift injection too weak to matter ({ate[False]:.3f} m)")
+        assert ate[True] < 0.7 * ate[False], (
+            f"loop closure did not recover accuracy: "
+            f"{ate[False]:.3f} m -> {ate[True]:.3f} m")
+
+
 class TestCheckpoint:
     def test_save_restore_continue(self, tmp_path):
         cfg = small_config()
