@@ -52,9 +52,20 @@ def enable_compile_cache():
 BASELINE_FPS = 30.0  # the reference's real-time operating target
 
 
-def _render_sequence(cfg, n_frames, return_gt=False):
-    """Pre-render an orbit on device: list of (ts, depth u16, rgb u8)."""
-    from slam_rgbd_tpu.io.synthetic import SceneSpec, orbit_trajectory, render_frame
+def _render_sequence(cfg, n_frames, return_gt=False, noise=None):
+    """Pre-render an orbit on device: list of (ts, depth u16, rgb u8).
+
+    `noise`: optional `io.synthetic.NoiseSpec` — applies the full sensor
+    degradation model on device (axial depth noise, silhouette dropout,
+    shot noise + flicker, motion blur along the per-frame flow, exposure
+    drift). The degraded legs label their results accordingly: this is
+    synthetic-with-realistic-degradations, NOT real TUM footage (the
+    build environment has zero egress — see README performance notes).
+    """
+    from slam_rgbd_tpu.core import se3
+    from slam_rgbd_tpu.io.synthetic import (
+        SceneSpec, apply_sensor_noise, orbit_trajectory, render_frame,
+    )
 
     spec = SceneSpec()
     # out-and-back sweep: the second half revisits the first half's views,
@@ -64,6 +75,21 @@ def _render_sequence(cfg, n_frames, return_gt=False):
     frames = []
     for i in range(n_frames):
         d, c = render_frame(jnp.asarray(poses[i]), cfg.camera, spec)
+        if noise is not None:
+            j = max(i - 1, 0)
+            xi = np.asarray(se3.log(jnp.asarray(
+                (np.linalg.inv(poses[j])
+                 @ poses[min(j + 1, n_frames - 1)]).astype(np.float32)
+            )))
+            flow = jnp.asarray(
+                [cfg.camera.fx * abs(xi[4]), cfg.camera.fy * abs(xi[3])],
+                jnp.float32,
+            )
+            key = jax.random.fold_in(jax.random.key(noise.seed), i)
+            d, c = apply_sensor_noise(
+                d, c, key, cfg.camera, noise,
+                flow_px=flow, t_s=jnp.float32(i / 30.0),
+            )
         # Frames stay device-resident (same methodology as the tracking
         # bench): on a physical TPU host the 1.4 MB/frame H2D hop is
         # ~0.15 ms and a prefetching ingest pipeline overlaps it with
@@ -76,7 +102,7 @@ def _render_sequence(cfg, n_frames, return_gt=False):
     return frames
 
 
-def bench_session(cfg, frames, gt_poses=None):
+def bench_session(cfg, frames, gt_poses=None, rig=None):
     """Full pipeline: tracking + features + map + async BA/loop closure."""
     from slam_rgbd_tpu.runtime.session import SLAMSession
 
@@ -140,24 +166,25 @@ def bench_session(cfg, frames, gt_poses=None):
         _, est = sess.poses()
         rmse, _, _ = ate_rmse(est, gt_poses[: len(est)])
         out["session_ate_cm"] = round(rmse * 100, 3)
+    tail = (
+        "p99/max on this rig are transport-bound, not compute-bound"
+    )
+    if rig:
+        tail += (
+            f": one blocking device->host fetch is "
+            f"{rig['fetch_p50_ms']} ms p50 and the chain-measured steady "
+            f"tracking step is {rig['steady_track_chip_ms']} ms of chip "
+            f"time (both measured THIS run)"
+        )
     out["notes"] = {
-        "tail": (
-            "p99/max on this rig are transport-bound, not compute-bound: "
-            "one blocking device->host fetch over the tunneled link is "
-            "~26 ms p50, while the chip-side budget (chain-measured, "
-            "tools/profile_burst.py) is steady step ~5.8 ms, full backend "
-            "pass ~10.7 ms, features ~2.1 ms — a keyframe burst is "
-            "~19 ms of device time"
-        ),
+        "tail": tail,
         "loops": (
-            "0 loop closures here is the healthy outcome: the sweep's "
+            "0 loop closures on the CLEAN sweep is the healthy outcome: "
             "revisits are continuously RE-ASSOCIATED against the map "
             "(covisible => correctly excluded as loop candidates), so "
-            "drift never accumulates (ATE stays ~1.4 cm). The loop "
-            "pipeline (candidate->verify->consistency->pose graph + "
-            "per-anchor point correction) engages when association "
-            "fails and is exercised under injected drift in "
-            "tests/test_map_backend.py and tests/test_runtime.py"
+            "drift never accumulates. The full loop pipeline is forced "
+            "and measured on the timed path in this run's loop_leg block "
+            "(and in tests/test_runtime.py TestLoopClosureEndToEnd)"
         ),
     }
     return out
@@ -267,6 +294,59 @@ def _time_device_chain(body, init_fn, n_small=50, n_large=200, reps=3):
     return max(float(np.median(np.asarray(slopes))), 1e-9)
 
 
+def _trace_device_us(fn_varied, probe_name, reps=20):
+    """Median per-call DEVICE time (us) from a `jax.profiler` trace — the
+    cross-check for the chain-fit methodology (VERDICT r4 item 6: the
+    chain, trace, and legacy numbers are reported side by side so a
+    methodology change can never silently move the headline again).
+
+    `fn_varied(i)` must vary operand values (dispatches with unchanged
+    operands can be served without re-execution on this platform).
+    Matches the XLA module-execution events named `jit_{probe_name}` in
+    the device process of the trace. Returns None if unavailable.
+    """
+    import glob
+    import gzip
+    import tempfile
+    from collections import defaultdict
+
+    try:
+        with tempfile.TemporaryDirectory() as tdir:
+            jax.block_until_ready(fn_varied(0))
+            jax.profiler.start_trace(tdir)
+            out = None
+            for i in range(reps):
+                out = fn_varied(i + 1)
+            jax.block_until_ready(out)
+            jax.profiler.stop_trace()
+            files = glob.glob(
+                os.path.join(tdir, "**", "*.trace.json.gz"), recursive=True
+            )
+            if not files:
+                return None
+            with gzip.open(files[0], "rt") as f:
+                data = json.load(f)
+            device_pids = set()
+            for ev in data.get("traceEvents", []):
+                if (ev.get("ph") == "M" and ev.get("name") == "process_name"
+                        and "device:" in str(
+                            ev.get("args", {}).get("name", ""))):
+                    device_pids.add(ev.get("pid"))
+            groups = defaultdict(list)
+            for ev in data.get("traceEvents", []):
+                if (ev.get("ph") == "X" and "dur" in ev
+                        and ev.get("pid") in device_pids
+                        and str(ev.get("name", "")).startswith(
+                            f"jit_{probe_name}")):
+                    groups[ev["name"]].append(float(ev["dur"]))
+            if not groups:
+                return None
+            durs = max(groups.values(), key=len)
+            return float(np.median(np.asarray(durs)))
+    except Exception:  # noqa: BLE001 — cross-check must not sink the bench
+        return None
+
+
 def _cap_fraction(entry: dict) -> dict:
     """A speed-of-light fraction above 1.0 means the measurement landed
     below the modeled hardware bound — residual link jitter, not magic.
@@ -336,6 +416,20 @@ def bench_kernels(cfg, frames):
         return (scal + eps, jnp.float32(0.0))
 
     t_gn = _time_device_chain(gn_body, gn_init, reps=5)
+
+    # methodology cross-checks (VERDICT r4 item 6): legacy host-repeat
+    # (r03-comparable) and a jax.profiler device trace of the same
+    # dispatch, reported SIDE BY SIDE with the chain fit
+    @jax.jit
+    def gn_probe(scal_c):
+        H, g, inl, ss = ip.gn_reduce(
+            scal_c, srcp, tgtp, cam, cfg.icp, radius, (h, w)
+        )
+        return jnp.sum(H) + jnp.sum(g) + ss + inl.astype(jnp.float32)
+
+    gn_starts = [scal + jnp.float32(i * 1e-7) for i in range(8)]
+    legacy_gn = _time_device(lambda: gn_probe(gn_starts[0]), iters=50, trials=3)
+    trace_gn = _trace_device_us(lambda i: gn_probe(gn_starts[i % 8]), "gn_probe")
     gn_bytes = (srcp.size + tgtp.size) * 4
     n_terms = (2 * radius + 2) ** 2
     n_px = n_tiles * th * w_pad
@@ -350,6 +444,11 @@ def bench_kernels(cfg, frames):
     out["gn_reduce_640x480"] = _cap_fraction(roofline(
         gn_bytes, gn_mxu_flops, t_gn, gen, vpu_flops=gn_vpu_flops
     ))
+    out["gn_reduce_640x480"]["timing_us"] = {
+        "chain_fit": round(t_gn * 1e6, 1),
+        "device_trace": round(trace_gn, 1) if trace_gn else None,
+        "legacy_host_repeat": round(legacy_gn * 1e6, 1),
+    }
 
     # ---- hamming_top2 at the map-association workload ----------------------
     K1, K2 = cfg.orb.n_features, cfg.keyframes.max_map_points
@@ -380,12 +479,31 @@ def bench_kernels(cfg, frames):
         return (ham_starts[ham_i[0] % len(ham_starts)], jnp.float32(0.0))
 
     t_h = _time_device_chain(ham_body, ham_init, reps=5)
+
+    @jax.jit
+    def ham_probe(s1_c):
+        best, second, idx = hp.hamming_top2(s1_c, v1, s2, v2)
+        return jnp.sum(best) + jnp.sum(second) + jnp.sum(
+            idx.astype(jnp.float32)
+        )
+
+    legacy_h = _time_device(
+        lambda: ham_probe(ham_starts[0]), iters=50, trials=3
+    )
+    trace_h = _trace_device_us(
+        lambda i: ham_probe(ham_starts[i % len(ham_starts)]), "ham_probe"
+    )
     # HBM traffic of the bf16 operands + tiny outputs; FLOPs of the matmul.
     ham_bytes = (K1 + K2) * 256 * 2 + K1 * 12
     ham_flops = 2 * K1 * K2 * 256
     out[f"hamming_top2_{K1}x{K2}"] = _cap_fraction(
         roofline(ham_bytes, ham_flops, t_h, gen)
     )
+    out[f"hamming_top2_{K1}x{K2}"]["timing_us"] = {
+        "chain_fit": round(t_h * 1e6, 1),
+        "device_trace": round(trace_h, 1) if trace_h else None,
+        "legacy_host_repeat": round(legacy_h * 1e6, 1),
+    }
 
     # XLA reference path at the same workload: distance matrix + top_k via
     # HBM — the speedup is what the fusion buys on the map-association
@@ -407,12 +525,178 @@ def bench_kernels(cfg, frames):
     out[f"hamming_top2_{K1}x{K2}"]["xla_us"] = round(t_x * 1e6, 1)
     out[f"hamming_top2_{K1}x{K2}"]["speedup_vs_xla"] = round(t_x / t_h, 2)
     out["method"] = (
-        "on-device dependency chain, two-length linear fit (dispatch and "
-        "transfer overheads cancelled; host-side repeat timing on this "
-        "tunneled platform can elide re-execution and measured anywhere "
-        "from 0.3 to 435 us for the same kernel)"
+        "headline = on-device dependency chain, two-length linear fit "
+        "(dispatch and transfer overheads cancelled). Each kernel also "
+        "reports timing_us.{chain_fit, device_trace, legacy_host_repeat}: "
+        "the jax.profiler device trace is the per-dispatch ground truth "
+        "cross-check, and legacy_host_repeat is the (untrustworthy but "
+        "r03-comparable) host repeat loop — on this tunneled platform it "
+        "can elide re-execution and has measured 0.3-435 us for the same "
+        "kernel"
     )
     return {"kernel_sol": out}
+
+
+def measure_rig(cfg, frames):
+    """Per-run transport + chip-side step costs — the numbers the session
+    notes cite, measured THIS run instead of baked-in prose (VERDICT r4
+    weak item 6)."""
+    from slam_rgbd_tpu.core import camera
+    from slam_rgbd_tpu.odometry.icp import track_frame
+
+    cam = cfg.camera
+    pyr_fn = jax.jit(
+        lambda d, c: camera.build_frame_pyramid(
+            d, cam, levels=cfg.icp.levels, rgb=c
+        )
+    )
+    p0 = pyr_fn(jnp.asarray(frames[0][1]), jnp.asarray(frames[0][2]))
+    p1 = pyr_fn(jnp.asarray(frames[1][1]), jnp.asarray(frames[1][2]))
+
+    def body(carry):
+        T, mo, acc = carry
+        T2, mo2, res = track_frame(p0, p1, T, mo, cam, cfg.icp)
+        return (T2, mo2, acc + res.rmse + res.valid_fraction)
+
+    rng = np.random.default_rng(3)
+
+    def init():
+        return (
+            jnp.eye(4) + jnp.float32(rng.uniform(0, 1e-7)),
+            jnp.eye(4), jnp.float32(0.0),
+        )
+
+    t_step = _time_device_chain(body, init, n_small=10, n_large=40, reps=3)
+
+    # one blocking device->host fetch of a small FRESH array (the
+    # decision-pipeline's worst-case stall unit on this rig)
+    base = jnp.arange(8.0)
+    add = jax.jit(lambda x, s: x + s)
+    np.asarray(add(base, jnp.float32(-1.0)))  # compile
+    fetches = []
+    for i in range(15):
+        y = add(base, jnp.float32(i))
+        t0 = time.perf_counter()
+        np.asarray(y)
+        fetches.append(time.perf_counter() - t0)
+    return {
+        "steady_track_chip_ms": round(t_step * 1e3, 2),
+        "fetch_p50_ms": round(float(np.median(fetches)) * 1e3, 2),
+    }
+
+
+def bench_loop_leg(cfg, n_frames=120):
+    """Forced loop-closure leg ON the timed path (VERDICT r4 item 3).
+
+    Injects a miscalibrated-odometry bias (`ICPConfig.drift_xi` — a
+    constant 6-twist composed onto every tracked relative pose) over an
+    out-and-back sweep: real drift accumulates, the revisit fails map
+    association, and recovery MUST go through the full loop pipeline
+    (candidate -> verify -> consistency -> pose graph -> landmark fusion
+    -> merge). Reports ATE with the pipeline enabled vs disabled on the
+    identical frames, plus the merge's frame-time cost in the live run.
+    """
+    import dataclasses
+
+    from slam_rgbd_tpu.eval.trajectory import ate_rmse
+    from slam_rgbd_tpu.runtime.session import SLAMSession
+
+    drift = (0.006, 0.0, 0.003, 0.0, 0.003, 0.0)
+    frames, gt = _render_sequence(cfg, n_frames, return_gt=True)
+    out = {"n_frames": n_frames, "drift_xi": list(drift)}
+    for label, loop_on in (("loop_off", False), ("loop_on", True)):
+        c = cfg.replace(
+            icp=dataclasses.replace(cfg.icp, drift_xi=drift),
+            ba=dataclasses.replace(
+                cfg.ba, loop_min_interval=6, loop_cooldown_kf=4,
+                loop_min_score=(cfg.ba.loop_min_score if loop_on else 2.0),
+            ),
+        )
+        scratch = SLAMSession(c, async_backend=True)
+        scratch.warmup()
+        scratch.close()
+        sess = SLAMSession(c, async_backend=True)
+        try:
+            t0 = time.perf_counter()
+            for ts, d, cc in frames:
+                sess.process_frame(ts, d, cc)
+            sess.sync_backend(timeout=60.0, final_pass=True)
+            wall = time.perf_counter() - t0
+            _, est = sess.poses()
+            rmse, _, _ = ate_rmse(est, gt[: len(est)])
+            ms = np.asarray([s.track_ms for s in sess.stats[1:]])
+            entry = {
+                "ate_cm": round(rmse * 100, 2),
+                "loops": sess.state.loops,
+                "keyframes": sess.state.keyframes,
+                "fps": round(len(frames) / wall, 1),
+                "p99_ms": round(float(np.percentile(ms, 99)), 1),
+            }
+            if loop_on:
+                mf = [
+                    i for i in sess.state.loop_merge_frames
+                    if i < len(sess.stats)
+                ]
+                entry["loop_merge_frames"] = mf
+                # the frame-time of the process_frame call that merged
+                # each loop result (pose-graph rewrite + map correction +
+                # pending-frame re-anchor land here)
+                entry["merge_frame_ms"] = [
+                    round(float(sess.stats[i].track_ms), 1) for i in mf
+                ]
+            out[label] = entry
+        finally:
+            sess.close()
+    if out.get("loop_on", {}).get("loops", 0) and "loop_off" in out:
+        out["ate_recovery"] = round(
+            out["loop_on"]["ate_cm"] / max(out["loop_off"]["ate_cm"], 1e-9),
+            3,
+        )
+    return {"loop_leg": out}
+
+
+def bench_degraded(cfg, n_frames=240):
+    """Degraded-sensor leg: the same sweep under the full sensor
+    degradation model (VERDICT r4 item 2's fallback — the build env has
+    zero egress, so real TUM tarballs are unreachable; this leg is
+    LABELED as synthetic-with-realistic-degradations, never presented as
+    a real-data result)."""
+    from slam_rgbd_tpu.eval.trajectory import ate_rmse
+    from slam_rgbd_tpu.io.synthetic import NoiseSpec
+    from slam_rgbd_tpu.runtime.session import SLAMSession
+
+    noise = NoiseSpec(motion_blur=1.0, exposure_drift=0.08)
+    frames, gt = _render_sequence(cfg, n_frames, return_gt=True, noise=noise)
+    sess = SLAMSession(cfg, async_backend=True)
+    try:
+        t0 = time.perf_counter()
+        for ts, d, c in frames:
+            sess.process_frame(ts, d, c)
+        sess.sync_backend(timeout=60.0, final_pass=True)
+        wall = time.perf_counter() - t0
+        _, est = sess.poses()
+        rmse, _, _ = ate_rmse(est, gt[: len(est)])
+        return {"degraded_leg": {
+            "fps": round(len(frames) / wall, 1),
+            "ate_cm": round(rmse * 100, 2),
+            "keyframes": sess.state.keyframes,
+            "lost_frames": sess.state.lost,
+            "relocalized": sess.state.relocalized,
+            "degradations": (
+                "axial depth noise sigma~z^2 (Kinect model), silhouette "
+                "+ random depth dropout, RGB shot noise + exposure "
+                "flicker, motion blur along per-frame flow, slow "
+                "auto-exposure drift"
+            ),
+            "data": (
+                "synthetic raycast scene WITH the degradation model — "
+                "NOT real TUM footage (zero-egress build env; the "
+                "fr1/desk <=5 cm target remains unverified on real "
+                "camera data)"
+            ),
+        }}
+    finally:
+        sess.close()
 
 
 def bench_ba(cfg, timing_iters=30):
@@ -540,19 +824,44 @@ def main():
                 cfg.camera, cfg.icp, batches=(1, 2, 4, 8), iters=10
             ),
             "note": (
-                "B concurrent sequence-shards tracked on ONE chip — the "
-                "headroom a multi-chip data mesh scales against "
-                "(BASELINE.md:32). The >=70% 1-chip->2-hosts protocol "
-                "path itself (shard_map + jax.distributed) is validated "
-                "on the 8-virtual-device CPU mesh in CI (scaling_report, "
-                "labeled virtual-cpu)."
+                "B concurrent sequences tracked on ONE chip through the "
+                "batched Pallas kernel's sequential (B, n_tiles) grid. "
+                "Total throughput must rise monotonically in B; "
+                "marginal_ms_per_seq ~= step_ms(B=1) is the saturation "
+                "evidence — one 640x480 track already occupies the whole "
+                "VPU, so per-chip 'efficiency' measures amortized "
+                "dispatch overhead, not wasted compute. Multi-sequence "
+                "scaling is the data mesh's job (BASELINE.md:32); the "
+                ">=70% 1-chip->2-hosts protocol path (shard_map + "
+                "jax.distributed) is validated on the 8-virtual-device "
+                "CPU mesh in CI (scaling_report, labeled virtual-cpu)."
             ),
         }
     except Exception as e:  # noqa: BLE001 — scaling must not sink the bench
         extras["scaling"] = {"error": f"{type(e).__name__}: {e}"}
+    _note("rig measurement (transport + chip-side step, this run)")
+    try:
+        rig = measure_rig(cfg, frames)
+        extras["rig"] = rig
+    except Exception as e:  # noqa: BLE001
+        rig = None
+        extras["rig"] = {"error": f"{type(e).__name__}: {e}"}
     _note("full-session bench (warmup pass compiles every path)")
-    session = bench_session(cfg, frames, gt_poses=gt_poses)
+    session = bench_session(cfg, frames, gt_poses=gt_poses, rig=rig)
     extras.update(session)
+    if os.environ.get("BENCH_LEGS", "1") != "0":
+        _note("degraded-sensor leg (noise+blur+exposure drift)")
+        try:
+            extras.update(bench_degraded(cfg, n_frames=n_frames))
+        except Exception as e:  # noqa: BLE001
+            extras["degraded_leg"] = {"error": f"{type(e).__name__}: {e}"}
+        _note("forced loop-closure leg (injected odometry drift)")
+        try:
+            extras.update(bench_loop_leg(
+                cfg, n_frames=min(n_frames, 120)
+            ))
+        except Exception as e:  # noqa: BLE001
+            extras["loop_leg"] = {"error": f"{type(e).__name__}: {e}"}
     extras["device"] = jax.devices()[0].device_kind
 
     fps = session["session_fps"]

@@ -204,6 +204,18 @@ class NoiseSpec:
     rgb_sigma: float = 2.0  # shot noise, 0..255 units
     flicker: float = 0.03  # max |gain - 1| per frame
     seed: int = 11
+    # Motion blur: RGB box blur along the dominant image flow, scaled by
+    # the per-frame camera motion (rolling-integration smear of a
+    # handheld sensor — the failure mode that ruins FAST corners on real
+    # fr1-style footage). 0 disables; 1.0 blurs over the full inter-frame
+    # flow magnitude.
+    motion_blur: float = 0.0
+    # Slow auto-exposure hunting: sinusoidal global gain drift with this
+    # amplitude on top of the per-frame flicker (breaks brightness
+    # constancy across MANY frames, unlike flicker's frame-to-frame
+    # jitter).
+    exposure_drift: float = 0.0
+    exposure_period_s: float = 4.0
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "spec"))
@@ -213,10 +225,25 @@ def apply_sensor_noise(
     key: jax.Array,
     cam: CameraIntrinsics,
     spec: NoiseSpec = NoiseSpec(),
+    flow_px: jax.Array | None = None,  # (2,) dominant image flow px/frame
+    t_s: jax.Array | None = None,  # () seconds (exposure-drift phase)
 ):
     """Corrupt a clean rendered frame like a real structured-light sensor."""
     k_z, k_edge, k_drop, k_rgb, k_gain = jax.random.split(key, 5)
     z = depth_raw.astype(jnp.float32) / cam.depth_scale
+
+    if spec.motion_blur > 0.0 and flow_px is not None:
+        # 5-tap box blur along the dominant flow (integer-shifted rolls —
+        # a separable streak; real smear is the integral over exposure)
+        acc = jnp.zeros(rgb.shape, jnp.float32)
+        for frac in (-0.5, -0.25, 0.0, 0.25, 0.5):
+            off = spec.motion_blur * frac * flow_px
+            dy = jnp.round(off[1]).astype(jnp.int32)
+            dx = jnp.round(off[0]).astype(jnp.int32)
+            acc = acc + jnp.roll(
+                rgb.astype(jnp.float32), (dy, dx), axis=(0, 1)
+            )
+        rgb = (acc / 5.0).astype(jnp.uint8)
 
     # axial noise ~ z^2
     sigma = spec.depth_sigma_rel2 * z * z
@@ -235,6 +262,10 @@ def apply_sensor_noise(
     depth_out = jnp.clip(z_noisy * cam.depth_scale, 0, 65535).astype(jnp.uint16)
 
     gain = 1.0 + spec.flicker * (2.0 * jax.random.uniform(k_gain, ()) - 1.0)
+    if spec.exposure_drift > 0.0 and t_s is not None:
+        gain = gain * (1.0 + spec.exposure_drift * jnp.sin(
+            2.0 * jnp.pi * t_s / spec.exposure_period_s
+        ))
     rgb_f = rgb.astype(jnp.float32) * gain + spec.rgb_sigma * jax.random.normal(
         k_rgb, rgb.shape
     )
@@ -307,7 +338,20 @@ class SyntheticSequence:
         depth, rgb = render_frame(jnp.asarray(self.poses[i]), self.cam, self.spec)
         if self.noise is not None:
             key = jax.random.fold_in(jax.random.key(self.noise.seed), i)
-            depth, rgb = apply_sensor_noise(depth, rgb, key, self.cam, self.noise)
+            # dominant image flow of this frame's motion (rotational terms
+            # dominate handheld flow): u ~ fx*w_y, v ~ fy*w_x
+            j = max(i - 1, 0)
+            xi = np.asarray(se3.log(jnp.asarray(
+                (np.linalg.inv(self.poses[j]) @ self.poses[min(j + 1, len(self.poses) - 1)]).astype(np.float32)
+            )))
+            flow = jnp.asarray(
+                [self.cam.fx * abs(xi[4]), self.cam.fy * abs(xi[3])],
+                jnp.float32,
+            )
+            depth, rgb = apply_sensor_noise(
+                depth, rgb, key, self.cam, self.noise,
+                flow_px=flow, t_s=jnp.float32(self.timestamps[i]),
+            )
         return self.timestamps[i], np.asarray(depth), np.asarray(rgb)
 
     def __iter__(self):

@@ -134,7 +134,7 @@ def build_target_planes(
 
 def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
                  th: int, n_tiles: int, height: int, width: int,
-                 n_b: int = 1):
+                 n_b: int = 1, batched: bool = False):
     """Kernel body for `gn_reduce` (n_b=1) and `gn_reduce_batched` (grid
     (B, n_tiles) with a leading batch axis on every operand — B problems
     stream through the same sequential grid, so one dispatch amortizes B
@@ -153,7 +153,11 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
     rgb_huber = cfg.rgb_huber
 
     def kernel(scal_ref, src_ref, tgt_ref, out_ref, scratch, sems):
-        if n_b == 1:
+        # `batched` selects the (B, ...) block layouts of
+        # `gn_reduce_batched` — including at B == 1, whose blocks still
+        # carry the leading batch axis (conflating the two on n_b == 1
+        # mis-indexed every operand; round-5 regression).
+        if not batched:
             b = jnp.int32(0)
             i = pl.program_id(0)
         else:
@@ -163,7 +167,7 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
         def window_dma(slot, tile, bb):
             return pltpu.make_async_copy(
                 tgt_ref.at[bb, :, pl.ds(tile * th, span), :]
-                if n_b > 1 else tgt_ref.at[:, pl.ds(tile * th, span), :],
+                if batched else tgt_ref.at[:, pl.ds(tile * th, span), :],
                 scratch.at[slot],
                 sems.at[slot],
             )
@@ -188,16 +192,24 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
         slot = step % 2
 
         # ---- transform + project the source tile --------------------------
-        scal_blk = scal_ref if n_b == 1 else scal_ref.at[0]
-        t = [[scal_blk[0, 4 * r + c] for c in range(4)] for r in range(4)]
-        mu_u = scal_blk[0, 16]
-        mu_v = scal_blk[0, 17]
+        # Value indexing (not `.at[]` ref transforms): interpret mode
+        # squeezes integer-indexed ref transforms but the Mosaic lowering
+        # does not, so `.at[0]` left a phantom leading axis on the real
+        # TPU path (round-5 batch-scaling regression).
+        def scal_at(j):
+            return scal_ref[0, j] if not batched else scal_ref[0, 0, j]
 
-        src_blk = src_ref if n_b == 1 else src_ref.at[0]
-        px, py, pz = src_blk[0], src_blk[1], src_blk[2]
-        snx, sny, snz = src_blk[3], src_blk[4], src_blk[5]
-        sval = src_blk[6]
-        sint = src_blk[7]
+        t = [[scal_at(4 * r + c) for c in range(4)] for r in range(4)]
+        mu_u = scal_at(16)
+        mu_v = scal_at(17)
+
+        def src_at(c):
+            return src_ref[c] if not batched else src_ref[0, c]
+
+        px, py, pz = src_at(0), src_at(1), src_at(2)
+        snx, sny, snz = src_at(3), src_at(4), src_at(5)
+        sval = src_at(6)
+        sint = src_at(7)
 
         yx = t[0][0] * px + t[0][1] * py + t[0][2] * pz + t[0][3]
         yy = t[1][0] * px + t[1][1] * py + t[1][2] * pz + t[1][3]
@@ -333,15 +345,20 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
         contrib = jnp.concatenate([m_geo, m_pho, pad8], axis=1)
         n_inl = jnp.sum(mask.astype(jnp.float32))
         contrib = jnp.where((row_ids == 0) & (col_ids == 16), n_inl, contrib)
-        out_blk = out_ref if n_b == 1 else out_ref.at[0]
 
         @pl.when(i == 0)
         def _():
-            out_blk[:] = contrib
+            if not batched:
+                out_ref[:] = contrib
+            else:
+                out_ref[0] = contrib
 
         @pl.when(i > 0)
         def _():
-            out_blk[:] = out_blk[:] + contrib
+            if not batched:
+                out_ref[:] = out_ref[:] + contrib
+            else:
+                out_ref[0] = out_ref[0] + contrib
 
     return kernel
 
@@ -435,7 +452,7 @@ def gn_reduce_batched(
     rv = radius + 1
     span = _round_up(th + 2 * rv, 8)
     kernel = _make_kernel(
-        cam, cfg, radius, th, n_tiles, height, width, n_b=n_b
+        cam, cfg, radius, th, n_tiles, height, width, n_b=n_b, batched=True
     )
 
     n_terms = (2 * radius + 2) ** 2

@@ -273,6 +273,10 @@ class SessionState:
     relocalized: int = 0
     last_heartbeat: float = field(default_factory=time.monotonic)
     running: bool = True
+    # frame index at which each loop-closure result MERGED into the live
+    # state (async path: the process_frame call that polled it) — lets the
+    # bench report the merge's frame-time spike on the timed path
+    loop_merge_frames: list = field(default_factory=list)
 
 
 class SLAMSession:
@@ -860,6 +864,7 @@ class SLAMSession:
                     jnp.int32(r.n_fused),
                 )
             self.state.loops += 1
+            self.state.loop_merge_frames.append(self.state.frames)
             self._last_loop_kf = max(self._last_loop_kf, r.snap_kf_idx)
             self._loop_gen += 1  # older snapshots can no longer merge
         self.T_world = se3.normalize_rotation(C @ self.T_world)
