@@ -308,43 +308,55 @@ def _global_ba_program(
     """Full-map BA after an accepted loop — the GlobalBundleAdjustment
     the reference delegates to ORB-SLAM3 (`SLAM.cpp:54` semantics).
 
-    Every valid keyframe is free except keyframe 0 (gauge); the solve
-    runs over the pose-graph-corrected state so it refines — rather than
-    re-discovers — the loop correction. Same compacted Schur machinery as
-    the local window (`ba._windowed_single`), with the window = the whole
-    map and the larger `global_ba_points` budget. A non-finite outcome is
-    rejected ON DEVICE (falls back to the pose-graph state) so a
-    degenerate global solve can never cost the merge its loop closure.
+    The solve is COMPACTED to the newest `global_ba_window` valid
+    keyframes (gauge = the oldest in-window keyframe; anything older
+    stays fixed — for maps within the window this IS every keyframe,
+    matching ORB-SLAM3's all-free-but-first; beyond it, a bounded
+    wide-window refinement). Solving over the raw slot capacity cost
+    2.5 s per closure at 256 slots with ~11 live keyframes — all
+    critical-path. It runs over the pose-graph-corrected state so it
+    refines — rather than re-discovers — the loop correction, with the
+    same compacted Schur machinery as the local window
+    (`ba._windowed_single`) and the larger `global_ba_points` budget.
+    A non-finite outcome is rejected ON DEVICE (falls back to the
+    pose-graph state) so a degenerate global solve can never cost the
+    merge its loop closure.
 
-    Returns (kf_pose, pt_xyz, pt_solved, rmse_px, applied).
+    Returns (kf_pose, pt_xyz, pt_solved, rmse_px, applied, max_move_m).
     """
     import dataclasses
 
     M = m.capacity_kf
-    valid = m.kf_valid
-    free = valid & (jnp.arange(M) != 0)
+    W = min(cfg.ba.global_ba_window, M)
+    idx, wvalid = smap.local_window(m, W)
+    gauge = jnp.argmax(wvalid)  # oldest valid position in the window
+    free = wvalid & (jnp.arange(W) != gauge)
     gcfg = dataclasses.replace(
         cfg.ba,
         iters=cfg.ba.global_ba_iters,
         max_points_per_window=cfg.ba.global_ba_points,
     )
     res = ba_mod._windowed_single(
-        kf_pose, valid, pt_xyz, m.kp_uv, m.kp_pts[..., 2], point_id,
-        m.kp_ok & valid[:, None], cfg.camera, gcfg, free,
+        kf_pose[idx], wvalid, pt_xyz, m.kp_uv[idx],
+        m.kp_pts[idx][..., 2], point_id[idx],
+        m.kp_ok[idx] & wvalid[:, None], cfg.camera, gcfg, free,
     )
     pt_finite = jnp.all(jnp.isfinite(res.pt_xyz), axis=-1)
     # trust-region acceptance: the solve must REFINE the pose-graph
     # state, not relocate it (see BAConfig.global_ba_max_move)
     move = jnp.linalg.norm(
-        res.kf_pose[:, :3, 3] - kf_pose[:, :3, 3], axis=-1
+        res.kf_pose[:, :3, 3] - kf_pose[idx][:, :3, 3], axis=-1
     )
-    dmax = jnp.max(jnp.where(valid, move, 0.0))
+    dmax = jnp.max(jnp.where(wvalid, move, 0.0))
     ok = (
         jnp.all(jnp.isfinite(res.kf_pose))
         & (res.rmse_px < 1e3)
         & (dmax <= cfg.ba.global_ba_max_move)
     )
-    kf_out = jnp.where(ok, res.kf_pose, kf_pose)
+    kf_win = jnp.where(
+        (ok & wvalid)[:, None, None], res.kf_pose, kf_pose[idx]
+    )
+    kf_out = kf_pose.at[idx].set(kf_win)
     pt_out = jnp.where(
         (ok & res.pt_solved & pt_finite)[:, None], res.pt_xyz, pt_xyz
     )

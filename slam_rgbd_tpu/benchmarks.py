@@ -605,48 +605,54 @@ def bench_loop_leg(cfg, n_frames=120):
     frames, gt = _render_sequence(cfg, n_frames, return_gt=True)
     out = {"n_frames": n_frames, "drift_xi": list(drift)}
     for label, loop_on in (("loop_off", False), ("loop_on", True)):
+        # INLINE backend: the A/B must be deterministic (the async
+        # worker's replace-with-newest skipping is timing-dependent and
+        # moved loop_off's ATE by 2.6x between runs), and inline puts the
+        # whole closure — verification, pose graph, landmark fusion,
+        # global BA, merge — ON the closing keyframe's frame time, so
+        # merge_frame_ms is a direct measurement of the merge storm
+        # (denser keyframes + a shorter candidate interval make the
+        # closure land mid-run, not in the terminal drain)
         c = cfg.replace(
             icp=dataclasses.replace(cfg.icp, drift_xi=drift),
+            keyframes=dataclasses.replace(cfg.keyframes, kf_min_trans=0.06),
             ba=dataclasses.replace(
-                cfg.ba, loop_min_interval=6, loop_cooldown_kf=4,
+                cfg.ba, loop_min_interval=5, loop_cooldown_kf=3,
                 loop_min_score=(cfg.ba.loop_min_score if loop_on else 2.0),
             ),
         )
-        scratch = SLAMSession(c, async_backend=True)
+        scratch = SLAMSession(c)
         scratch.warmup()
         scratch.close()
-        sess = SLAMSession(c, async_backend=True)
-        try:
-            t0 = time.perf_counter()
-            for ts, d, cc in frames:
-                sess.process_frame(ts, d, cc)
-            sess.sync_backend(timeout=60.0, final_pass=True)
-            wall = time.perf_counter() - t0
-            _, est = sess.poses()
-            rmse, _, _ = ate_rmse(est, gt[: len(est)])
-            ms = np.asarray([s.track_ms for s in sess.stats[1:]])
-            entry = {
-                "ate_cm": round(rmse * 100, 2),
-                "loops": sess.state.loops,
-                "keyframes": sess.state.keyframes,
-                "fps": round(len(frames) / wall, 1),
-                "p99_ms": round(float(np.percentile(ms, 99)), 1),
-            }
-            if loop_on:
-                mf = [
-                    i for i in sess.state.loop_merge_frames
-                    if i < len(sess.stats)
-                ]
-                entry["loop_merge_frames"] = mf
-                # the frame-time of the process_frame call that merged
-                # each loop result (pose-graph rewrite + map correction +
-                # pending-frame re-anchor land here)
-                entry["merge_frame_ms"] = [
-                    round(float(sess.stats[i].track_ms), 1) for i in mf
-                ]
-            out[label] = entry
-        finally:
-            sess.close()
+        sess = SLAMSession(c)
+        t0 = time.perf_counter()
+        for ts, d, cc in frames:
+            sess.process_frame(ts, d, cc)
+        sess.flush_pipeline()
+        wall = time.perf_counter() - t0
+        _, est = sess.poses()
+        rmse, _, _ = ate_rmse(est, gt[: len(est)])
+        ms = np.asarray([s.track_ms for s in sess.stats[1:]])
+        entry = {
+            "ate_cm": round(rmse * 100, 2),
+            "loops": sess.state.loops,
+            "keyframes": sess.state.keyframes,
+            "fps": round(len(frames) / wall, 1),
+            "p99_ms": round(float(np.percentile(ms, 99)), 1),
+        }
+        if loop_on:
+            mf = [
+                i for i in sess.state.loop_merge_frames
+                if i < len(sess.stats)
+            ]
+            entry["loop_merge_frames"] = mf
+            # frame time of the process_frame call that closed + merged
+            # each loop (verification + pose graph + fusion + global BA
+            # + map rewrite + pending re-anchor, all inline)
+            entry["merge_frame_ms"] = [
+                round(float(sess.stats[i].track_ms), 1) for i in mf
+            ]
+        out[label] = entry
     if out.get("loop_on", {}).get("loops", 0) and "loop_off" in out:
         out["ate_recovery"] = round(
             out["loop_on"]["ate_cm"] / max(out["loop_off"]["ate_cm"], 1e-9),

@@ -81,7 +81,27 @@ def cmd_run(args):
 
         ControlMenu(runner).start()  # stdin menu, main.c:57-159 parity
         args.threaded = True  # the menu requires the threaded pipeline
-    session = runner.run(threads=args.threaded)
+    server = None
+    if getattr(args, "serve", None) is not None:
+        # LIVE sensor->SLAM->viewer loop as one command — the reference's
+        # flagship camera->hub->viewer pipeline (`main.c:263-299`), with
+        # the viewer fed from the RUNNING session's map: the server's
+        # source callable re-reads `runner.session.map` per request
+        # (immutable pytree — a reference grab is snapshot-consistent).
+        from slam_rgbd_tpu.viz.pointcloud import map_to_pointcloud
+        from slam_rgbd_tpu.viz.server import PointCloudServer
+
+        server = PointCloudServer(
+            lambda: map_to_pointcloud(runner.session.map),
+            port=args.serve,
+        ).start()
+        print(f"live viewer at http://{server.host}:{server.port}/ "
+              f"(/native for the C++ rasterizer)")
+    try:
+        session = runner.run(threads=args.threaded)
+    finally:
+        if server is not None:
+            server.stop()
     if args.record and runner.recorder:
         runner.recorder.close()
 
@@ -242,6 +262,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--threaded", action="store_true", help="producer/consumer pipeline")
     pr.add_argument("--interactive", action="store_true",
                     help="stdin control menu (record/playback/reset/quit)")
+    pr.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve the RUNNING session's map live "
+                         "(web + native viewer; 0 = ephemeral port)")
     pr.set_defaults(fn=cmd_run)
 
     pc = sub.add_parser("record", help="capture a source to .rgbd")

@@ -227,6 +227,14 @@ class BAConfig:
     # observes the whole map; the least-observed overflow is excluded,
     # same policy as the local window).
     global_ba_points: int = 8192
+    # Keyframe compaction of the global solve: the newest (up to) this
+    # many VALID keyframes are solved; older ones stay fixed (extra gauge
+    # anchoring). Solving over the raw slot capacity processed the dense
+    # (max_keyframes, K) observation grid and a (6*max_keyframes)^2
+    # normal system even when ~5% of slots were live — measured 2.5 s
+    # per closure at 256 slots vs ~0.2 s compacted, all of it on the
+    # closing frame's critical path (inline) or the chip (async).
+    global_ba_window: int = 64
     # Trust region for accepting the global solve: reject it (keep the
     # pose-graph state) if any keyframe moved further than this from its
     # pose-graph-corrected init. A reprojection-only global BA is well

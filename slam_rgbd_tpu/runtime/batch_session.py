@@ -23,10 +23,21 @@ Relationship to `SLAMSession` (one sequence, latency-oriented):
     XLA matching path (the fused Pallas kernel is single-problem; batching
     rides the MXU through the batched matmul instead).
   * backend     — the same compacted `windowed_local_ba`, vmapped, merged
-    with the same rigid-correction discipline. Loop closure is
-    deliberately NOT run here: batch mode is the multi-sequence
-    throughput/serving path, and the pose-graph rewrite is a per-sequence
-    latency feature (`SLAMSession`).
+    with the same rigid-correction discipline.
+  * loop closure — per-sequence odometry edges are maintained on insert,
+    and keyframe steps run a vmapped candidate search (one cheap
+    signature matmul per sequence). The EXPENSIVE closure program
+    (verify + consistency gate + pose graph + per-anchor point
+    correction, vmapped and masked per sequence) is host-gated: it
+    dispatches only when some sequence actually has a candidate — the
+    same rare-path discipline as `SLAMSession`'s backend.
+  * relocalization — lost sequences (masked, host-gated, rate-limited
+    like the single session) run a vmapped features + map-wide match +
+    3D-3D solve with the same consensus/plausibility gates.
+
+Landmark fusion + post-loop global BA remain single-session features
+(`backend.worker`): they refine a closure, while batch mode's job is
+bounded per-step cost across N sequences.
 
 The host keeps only per-sequence scalars (keyframe counts, frame indices);
 all array state stays device-resident and sharded. Checkpointing N
@@ -44,6 +55,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from slam_rgbd_tpu.backend import ba as ba_mod
+from slam_rgbd_tpu.backend import loop as loop_mod
+from slam_rgbd_tpu.backend import pose_graph as pg_mod
 from slam_rgbd_tpu.core import camera, se3
 from slam_rgbd_tpu.core.config import SLAMConfig
 from slam_rgbd_tpu.features import detect as fdetect
@@ -104,13 +117,15 @@ def _batch_features(depth, rgb, cam, orb):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _batch_insert(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
-                  do_insert, cfg):
+def _batch_insert(maps, edges, n_edges, kp_uv, signs, pts, ok, T_pose, ts,
+                  kf_idx, do_insert, cfg):
     """Masked keyframe insert for every sequence (vmapped scatter; a
-    sequence with do_insert=False keeps its map unchanged)."""
+    sequence with do_insert=False keeps its map unchanged). Appends the
+    odometry edge prev->new per inserting sequence (the pose-graph
+    chain loop closure later optimizes)."""
     kcfg = cfg.keyframes
 
-    def one(m, uv, sg, p3, okk, T, t, ki, do):
+    def one(m, e, n, uv, sg, p3, okk, T, t, ki, do):
         has_map = ki > 0
         pid = smap.match_against_map(
             m, sg, okk, uv, p3[:, 2], T, cam=cfg.camera,
@@ -132,10 +147,20 @@ def _batch_insert(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
         # slot `ki` is still empty)
         ref = jnp.maximum(jnp.where(do, ki, ki - 1), 0)
         last_kf_T = jnp.take(m_out.kf_pose, ref, axis=0)
-        return m_out, last_kf_T
+        # odometry edge prev -> new (same convention as the single
+        # session's `_kf_insert_jit`: T_meas = T_prev^-1 T_new)
+        prev = jnp.maximum(ki - 1, 0)
+        T_prev = jnp.take(m_out.kf_pose, prev, axis=0)
+        e2, n2 = e.add(n, prev, ki, se3.inverse(T_prev) @ T, 1.0)
+        edge_ok = do & (ki >= 1)
+        e_out = jax.tree_util.tree_map(
+            lambda a_, b_: jnp.where(edge_ok, a_, b_), e2, e
+        )
+        n_out = jnp.where(edge_ok, n2, n)
+        return m_out, e_out, n_out, last_kf_T
 
-    return jax.vmap(one)(maps, kp_uv, signs, pts, ok, T_pose, ts, kf_idx,
-                         do_insert)
+    return jax.vmap(one)(maps, edges, n_edges, kp_uv, signs, pts, ok,
+                         T_pose, ts, kf_idx, do_insert)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -182,6 +207,128 @@ def _batch_ba(maps, T_world, do_ba, cfg):
     return jax.vmap(one)(maps, T_world, do_ba)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_loop_candidates(maps, kf_idx, cfg):
+    """Vmapped loop-candidate search: one signature matmul per sequence.
+    Returns (B, 3) [ok, cand_idx, score] — the cheap always-on stage."""
+
+    def one(m, ki):
+        cand = loop_mod.find_loop_candidate(
+            m, ki, min_interval=cfg.ba.loop_min_interval,
+            min_score=cfg.ba.loop_min_score,
+        )
+        return jnp.stack([
+            cand.ok.astype(jnp.float32),
+            cand.kf_idx.astype(jnp.float32), cand.score,
+        ])
+
+    return jax.vmap(one)(maps, kf_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_loop_close(maps, edges, n_edges, T_world, kf_idx, cand_idx, do,
+                      cfg):
+    """Vmapped masked loop closure: geometric verification, the
+    consistency gate, weight-5 edge append, pose-graph solve, per-anchor
+    point correction, and the live-pose rigid correction — the
+    `_backend_program.with_loop` stage of the single session, batched.
+    Host-gated to keyframe steps where some sequence has a candidate, so
+    its (heavy) cost never touches the steady path. Returns
+    (maps, edges, n_edges, T_world, closed (B,) bool)."""
+
+    def one(m, e, n, Tw, ki, ci, d):
+        ver = loop_mod.verify_loop(m, ki, ci)
+        Ti = jnp.take(m.kf_pose, ci, axis=0)
+        Tj = jnp.take(m.kf_pose, ki, axis=0)
+        resid = se3.log(se3.inverse(ver.T_rel) @ se3.inverse(Ti) @ Tj)
+        t_err = jnp.linalg.norm(resid[:3])
+        r_err = jnp.linalg.norm(resid[3:])
+        consistent = (
+            jnp.all(jnp.isfinite(resid))
+            & (t_err <= cfg.ba.loop_max_residual_t)
+            & (r_err <= jnp.deg2rad(cfg.ba.loop_max_residual_deg))
+        )
+        closed = ver.ok & consistent & d
+        e2, n2 = e.add(n, ci, ki, ver.T_rel, weight=5.0)
+        pg = pg_mod.optimize_pose_graph(
+            m.kf_pose, m.kf_valid, e2,
+            iters=cfg.ba.pg_iters, damping=cfg.ba.pg_damping,
+        )
+        anchor = jnp.clip(m.pt_first_kf, 0, m.capacity_kf - 1)
+        delta = jnp.einsum(
+            "pij,pjk->pik", pg.poses[anchor],
+            jax.vmap(se3.inverse)(m.kf_pose[anchor]),
+        )
+        pt_new = (
+            jnp.einsum("pij,pj->pi", delta[:, :3, :3], m.pt_xyz)
+            + delta[:, :3, 3]
+        )
+        C = se3.normalize_rotation(
+            jnp.take(pg.poses, ki, axis=0) @ se3.inverse(Tj)
+        )
+        sane = (
+            jnp.all(jnp.isfinite(pg.poses))
+            & jnp.all(jnp.isfinite(C))
+            & (jnp.linalg.norm(C[:3, 3]) < 2.0)
+        )
+        use = closed & sane
+        m2 = m.replace(
+            kf_pose=jnp.where(use, pg.poses, m.kf_pose),
+            pt_xyz=jnp.where(
+                use,
+                jnp.where(m.pt_valid[:, None], pt_new, m.pt_xyz),
+                m.pt_xyz,
+            ),
+        )
+        e_out = jax.tree_util.tree_map(
+            lambda a_, b_: jnp.where(use, a_, b_), e2, e
+        )
+        n_out = jnp.where(use, n2, n)
+        Tw2 = jnp.where(use, se3.normalize_rotation(C @ Tw), Tw)
+        return m2, e_out, n_out, Tw2, use
+
+    return jax.vmap(one)(maps, edges, n_edges, T_world, kf_idx, cand_idx,
+                         do)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_reloc(maps, depth, rgb, T_est, do, cfg):
+    """Vmapped masked relocalization: features + map-wide match + 3D-3D
+    IRLS solve with the single session's consensus + plausibility gates
+    (`session._reloc_jit` semantics). Host-gated to steps where some
+    sequence is lost. Returns (T_world (B,4,4), accepted (B,) bool)."""
+    from slam_rgbd_tpu.features import match as fmatch
+    from slam_rgbd_tpu.features.pose3d import solve_pose3d
+
+    orb = cfg.orb
+
+    def one(m, d, c, T, dd):
+        intensity = camera.rgb_to_intensity(c) / 255.0
+        kp, pyr = fdetect.detect_pyramid(
+            intensity, n_features=orb.n_features, n_levels=orb.n_levels,
+            scale_factor=orb.scale_factor, threshold=orb.fast_threshold,
+            min_threshold=orb.fast_min_threshold,
+        )
+        desc = forb.describe(kp, pyr, orb.scale_factor)
+        depth_m = camera.depth_to_metres(d, cfg.camera)
+        pts, ok = forb.keypoint_depth(kp, depth_m, cfg.camera)
+        ok = ok & kp.valid
+        mt = fmatch.match(
+            desc.signs, ok, m.pt_signs.astype(jnp.int8), m.pt_valid,
+            max_distance=float(orb.match_threshold), backend="xla",
+        )
+        res = solve_pose3d(pts, m.pt_xyz[mt.idx2], mt.valid & ok, iters=8)
+        accept = res.ok & (
+            res.inliers >= 0.5 * res.n_valid.astype(jnp.float32)
+        )
+        T_fixed = se3.normalize_rotation(res.T)
+        C = T_fixed @ se3.inverse(T)
+        accept = accept & (jnp.linalg.norm(C[:3, 3]) <= 1.0) & dd
+        return jnp.where(accept, T_fixed, T), accept
+
+    return jax.vmap(one)(maps, depth, rgb, T_est, do)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _batch_traj_append(buf, i, T):
     """In-place scatter (buffer donated — a copy per frame would move the
@@ -193,6 +340,10 @@ def _batch_traj_append(buf, i, T):
 class BatchState:
     frames: int = 0
     lost: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    loops: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    relocalized: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
 
 
 class BatchSession:
@@ -235,6 +386,16 @@ class BatchSession:
         self.T_world = jax.device_put(eye, self._shard)
         self.motion = jax.device_put(eye, self._shard)
         self.last_kf_T = jax.device_put(eye, self._shard)
+        one_edges = pg_mod.EdgeList.empty(4 * cfg.keyframes.max_keyframes)
+        self.edges = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_seq,) + x.shape), one_edges
+            ),
+            self._shard,
+        )
+        self.n_edges = jax.device_put(
+            jnp.zeros((n_seq,), jnp.int32), self._shard
+        )
         self.prev_pyr = None
         self._traj_cap = 1024
         self._traj = jax.device_put(
@@ -243,8 +404,14 @@ class BatchSession:
         self._traj_ts: list[float] = []
         self._n_kf = np.zeros(n_seq, np.int64)
         self._last_kf_frame = np.full(n_seq, -(10 ** 9))
+        self._last_loop_kf = np.full(n_seq, -(10 ** 9))
+        self._lost_streak = np.zeros(n_seq, np.int64)
         self._frame_i = 0
-        self.state = BatchState(lost=np.zeros(n_seq, np.int64))
+        self.state = BatchState(
+            lost=np.zeros(n_seq, np.int64),
+            loops=np.zeros(n_seq, np.int64),
+            relocalized=np.zeros(n_seq, np.int64),
+        )
 
     # ------------------------------------------------------------------ step
     def _insert(self, ts, depth, rgb, do_insert: np.ndarray):
@@ -252,9 +419,9 @@ class BatchSession:
             depth, rgb, cam=self.cfg.camera, orb=self.cfg.orb
         )
         kf_idx = jnp.asarray(self._n_kf.astype(np.int32))
-        self.maps, self.last_kf_T = _batch_insert(
-            self.maps, kp_uv, signs, pts, ok, self.T_world,
-            jnp.full((self.B,), np.float32(ts)), kf_idx,
+        self.maps, self.edges, self.n_edges, self.last_kf_T = _batch_insert(
+            self.maps, self.edges, self.n_edges, kp_uv, signs, pts, ok,
+            self.T_world, jnp.full((self.B,), np.float32(ts)), kf_idx,
             jnp.asarray(do_insert), cfg=self.cfg,
         )
         self._n_kf += do_insert.astype(np.int64)
@@ -267,9 +434,37 @@ class BatchSession:
             self.maps, self.T_world, _ = _batch_ba(
                 self.maps, self.T_world, jnp.asarray(do_ba), cfg=self.cfg
             )
+        # loop closure: cheap vmapped candidate search on inserting
+        # sequences past cooldown; the heavy closure program dispatches
+        # only when a candidate actually exists (host gate)
+        new_kf = np.maximum(self._n_kf - 1, 0).astype(np.int32)
+        allow = (
+            do_insert
+            & (new_kf - self._last_loop_kf >= self.cfg.ba.loop_cooldown_kf)
+            & (self._n_kf >= 3)
+        )
+        if allow.any():
+            cand = np.asarray(_batch_loop_candidates(
+                self.maps, jnp.asarray(new_kf), cfg=self.cfg
+            ))
+            do_loop = allow & (cand[:, 0] > 0.5)
+            if do_loop.any():
+                (self.maps, self.edges, self.n_edges, self.T_world,
+                 closed) = _batch_loop_close(
+                    self.maps, self.edges, self.n_edges, self.T_world,
+                    jnp.asarray(new_kf),
+                    jnp.asarray(cand[:, 1].astype(np.int32)),
+                    jnp.asarray(do_loop), cfg=self.cfg,
+                )
+                closed = np.asarray(closed)
+                self.state.loops += closed.astype(np.int64)
+                self._last_loop_kf = np.where(
+                    closed, new_kf, self._last_loop_kf
+                )
+        if do_ba.any() or allow.any():
             self.last_kf_T = jax.vmap(
                 lambda m, i: jnp.take(m.kf_pose, i, axis=0)
-            )(self.maps, jnp.asarray(np.maximum(self._n_kf - 1, 0).astype(np.int32)))
+            )(self.maps, jnp.asarray(new_kf))
 
     def process_frames(self, ts: float, depth: np.ndarray, rgb: np.ndarray):
         """One synchronized frame for every sequence."""
@@ -302,6 +497,31 @@ class BatchSession:
             s = np.asarray(summaries)  # (B, 4)
             ok = (s[:, 0] > 0.25) & (s[:, 2] > 0.5)
             self.state.lost += (~ok).astype(np.int64)
+            self._lost_streak = np.where(ok, 0, self._lost_streak + 1)
+            # relocalization for lost sequences — rate-limited like the
+            # single session (1st streak frame, then every 4th), and
+            # host-gated so the program only dispatches when needed
+            attempt = (
+                ~ok
+                & ((self._lost_streak == 1) | (self._lost_streak % 4 == 0))
+                & (self._n_kf >= 1)
+            )
+            if attempt.any():
+                self.T_world, accepted = _batch_reloc(
+                    self.maps, depth, rgb, self.T_world,
+                    jnp.asarray(attempt), cfg=self.cfg,
+                )
+                accepted = np.asarray(accepted)
+                self.state.relocalized += accepted.astype(np.int64)
+                self._lost_streak = np.where(accepted, 0, self._lost_streak)
+                # motion prior resets for relocalized sequences (the bad
+                # pre-loss velocity must not seed the next track)
+                self.motion = jnp.where(
+                    jnp.asarray(accepted)[:, None, None],
+                    jnp.broadcast_to(jnp.eye(4), self.motion.shape),
+                    self.motion,
+                )
+                ok = ok | accepted
             gap_ok = (
                 self._frame_i - self._last_kf_frame
                 >= self.cfg.keyframes.kf_min_gap_frames

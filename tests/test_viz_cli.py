@@ -152,3 +152,49 @@ class TestCLI:
     def test_bad_input_rejected(self):
         with pytest.raises(SystemExit):
             cli_main(["run", "/nonexistent/path"])
+
+    def test_run_serve_live_map(self, tmp_path):
+        """`run --serve`: the reference's flagship live pipeline
+        (camera -> hub -> viewer, `main.c:263-299`) as one command — the
+        web endpoint streams the RUNNING session's map, which must be
+        seen GROWING while frames are processed."""
+        import socket
+        import threading
+        import time
+
+        cfgp = small_cfg_yaml(tmp_path)
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        rc = {}
+        t = threading.Thread(
+            target=lambda: rc.update(code=cli_main(
+                ["--config", cfgp, "run", "synthetic:40", "--threaded",
+                 "--serve", str(port)]
+            )),
+            daemon=True,
+        )
+        t.start()
+        url = f"http://127.0.0.1:{port}"
+        counts = []
+        deadline = time.monotonic() + 120
+        while t.is_alive() and time.monotonic() < deadline:
+            try:
+                data = json.loads(
+                    urllib.request.urlopen(url + "/pointcloud", timeout=2).read()
+                )
+                counts.append(len(data["positions"]) // 3)
+            except Exception:  # noqa: BLE001 — server not up yet
+                pass
+            time.sleep(0.05)
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert rc.get("code") == 0
+        nonzero = [c for c in counts if c > 0]
+        assert nonzero, "live endpoint never served map points"
+        assert nonzero[-1] > nonzero[0], (
+            f"map did not grow over the live run: {nonzero[:3]}..."
+            f"{nonzero[-3:]}"
+        )
