@@ -401,6 +401,14 @@ class BatchSession:
         self._traj = jax.device_put(
             jnp.zeros((n_seq, self._traj_cap, 4, 4)), self._shard
         )
+        # reference-keyframe log (pose-at-log-time ring + host slot ids):
+        # `poses()` re-anchors each frame to its reference keyframe's
+        # CURRENT pose, so loop-closure / BA corrections apply to the
+        # whole logged history exactly like `SLAMSession.poses()`
+        self._traj_kfT = jax.device_put(
+            jnp.zeros((n_seq, self._traj_cap, 4, 4)), self._shard
+        )
+        self._frame_kf: list[np.ndarray] = []  # per frame: (B,) kf slot
         self._traj_ts: list[float] = []
         self._n_kf = np.zeros(n_seq, np.int64)
         self._last_kf_frame = np.full(n_seq, -(10 ** 9))
@@ -477,6 +485,7 @@ class BatchSession:
                 jnp.zeros((self.B, self._traj_cap, 4, 4)), self._shard
             )
             self._traj = jnp.concatenate([self._traj, pad], axis=1)
+            self._traj_kfT = jnp.concatenate([self._traj_kfT, pad], axis=1)
             self._traj_cap *= 2
 
         if self.prev_pyr is None:  # bootstrap: keyframe 0 for every sequence
@@ -534,18 +543,43 @@ class BatchSession:
         self._traj = _batch_traj_append(
             self._traj, np.int32(traj_i), self.T_world
         )
+        self._traj_kfT = _batch_traj_append(
+            self._traj_kfT, np.int32(traj_i), self.last_kf_T
+        )
+        self._frame_kf.append(np.maximum(self._n_kf - 1, 0).astype(np.int32))
         self._traj_ts.append(ts)
         self._frame_i += 1
         self.state.frames += 1
 
     # --------------------------------------------------------------- outputs
     def poses(self):
-        """(ts (n,), trajectories (B, n, 4, 4)) — raw per-sequence logs.
+        """(ts (n,), trajectories (B, n, 4, 4)) — loop/BA-corrected.
 
-        Batch mode merges backend corrections into the LIVE pose as it
-        goes; logged poses are the live estimates at log time."""
+        Each logged frame pose is re-anchored to its reference
+        keyframe's CURRENT (optimized) pose, exactly like
+        `SLAMSession.poses()`: T = T_kf_now @ T_kf_then^-1 @ T_then —
+        so pose-graph rewrites and BA corrections apply to the whole
+        logged history, not just frames after the merge."""
         n = len(self._traj_ts)
-        return np.asarray(self._traj_ts), np.asarray(self._traj[:, :n])
+        ts = np.asarray(self._traj_ts)
+        T_then = np.asarray(self._traj[:, :n])  # (B, n, 4, 4)
+        if n == 0:
+            return ts, T_then
+        kfT_then = np.asarray(self._traj_kfT[:, :n])
+        kf_idx = np.stack(self._frame_kf, axis=1)  # (B, n)
+        kf_now = np.asarray(
+            jax.vmap(lambda m: m.kf_pose)(self.maps)
+        )  # (B, M, 4, 4)
+        anchor = np.take_along_axis(
+            kf_now, kf_idx[:, :, None, None].repeat(4, 2).repeat(4, 3), 1
+        )
+        R = kfT_then[..., :3, :3]
+        t = kfT_then[..., :3, 3]
+        inv = np.tile(np.eye(4, dtype=np.float32), (self.B, n, 1, 1))
+        inv[..., :3, :3] = np.swapaxes(R, -1, -2)
+        inv[..., :3, 3] = -np.einsum("bnji,bnj->bni", R, t)
+        out = np.einsum("bnij,bnjk,bnkl->bnil", anchor, inv, T_then)
+        return ts, out.astype(np.float32)
 
     def ate_per_sequence(self, gt: np.ndarray) -> np.ndarray:
         """ATE RMSE (metres) per sequence vs (B, n, 4, 4) ground truth."""

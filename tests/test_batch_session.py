@@ -135,3 +135,55 @@ class TestBatchSession:
         # identical inputs -> (near-)identical trajectories
         _, est = bs.poses()
         np.testing.assert_allclose(est[0], est[1], atol=1e-4)
+
+
+@pytest.mark.slow
+class TestBatchLoopClosure:
+    def test_per_sequence_loops_and_recovery(self):
+        """Injected-drift batch run (VERDICT r4 item 8): the vmapped
+        masked loop pipeline closes loops PER SEQUENCE, and the
+        re-anchored `poses()` recover the sweep sequence's accuracy.
+        Without the loop pipeline this exact configuration measures
+        ~0.38 m ATE (drift-only); the asserted bound is 3x below it."""
+        import dataclasses
+
+        from slam_rgbd_tpu.core.config import ICPConfig
+        from slam_rgbd_tpu.eval.trajectory import ate_rmse  # noqa: F401
+
+        drift = (0.012, 0.0, 0.006, 0.0, 0.006, 0.0)
+        cfg = SLAMConfig(
+            camera=CAM,
+            orb=ORBConfig(n_features=256, n_levels=4),
+            icp=ICPConfig(drift_xi=drift),
+            keyframes=KeyframeConfig(
+                max_keyframes=64, max_map_points=8192,
+                kf_min_trans=0.02, kf_min_rot_deg=2.0,
+                kf_min_gap_frames=8,
+            ),
+            ba=BAConfig(window=4, iters=4, loop_min_interval=4,
+                        loop_cooldown_kf=2),
+        )
+        N = 100
+        seq_loop = SyntheticSequence(N, CAM, step_t=0.015, step_r=0.012,
+                                     sweep=True)
+        seq_fwd = SyntheticSequence(N, CAM, step_t=0.015, step_r=0.012,
+                                    sweep=False)
+        mesh = make_mesh(MeshConfig(data=2, model=1),
+                         devices=jax.devices()[:2])
+        bs = BatchSession(cfg, n_seq=2, mesh=mesh)
+        for i in range(N):
+            _, d0, c0 = seq_loop.frame(i)
+            _, d1, c1 = seq_fwd.frame(i)
+            bs.process_frames(i / 30.0, np.stack([d0, d1]),
+                              np.stack([c0, c1]))
+        gt = np.stack([seq_loop.groundtruth(), seq_fwd.groundtruth()])
+        ates = bs.ate_per_sequence(gt)
+        # the sweep sequence MUST close loops and recover
+        assert bs.state.loops[0] >= 1, "sweep sequence closed no loop"
+        assert ates[0] < 0.12, f"sweep ATE {ates[0]:.3f} m after loops"
+        # per-sequence independence: edge counts and loop counts are
+        # per-sequence state (the forward sequence may or may not close
+        # an overlap loop of its own — its state must stay finite)
+        assert np.isfinite(ates).all()
+        _, est = bs.poses()
+        assert np.isfinite(est).all()

@@ -5,10 +5,10 @@ fused backend program, the feature stage, the keyframe-insert program,
 and the steady tracking step on a mid-run session state, then measures
 the blocking device->host fetch latency of the link. Separates "what the
 chip spends" from "what the transport adds" in the session frame-time
-tail: on the tunneled bench rig one blocking fetch is ~26 ms p50 (with
-rare multi-second hiccups), so session p99/max frame times measure the
-link, not the SLAM — measured device budget: steady step ~5.8 ms,
-backend pass ~10.7 ms, features ~2.1 ms at the 640x480 operating point.
+tail: on the tunneled bench rig one blocking fetch is ~26-30 ms p50
+(with rare multi-second hiccups), so session p99/max frame times measure
+the link, not the SLAM. All numbers print per run; sub-millisecond
+programs land below the chain fit's resolution and clamp to 0.
 
 Run: python tools/profile_burst.py
 """
@@ -49,7 +49,7 @@ def chain_time(body, init, n1=8, n2=24, reps=3):
         t0 = time.perf_counter(); jax.block_until_ready(c1(init())); w1 = time.perf_counter() - t0
         t0 = time.perf_counter(); jax.block_until_ready(c2(init())); w2 = time.perf_counter() - t0
         best = min(best, (w2 - w1) / (n2 - n1))
-    return best
+    return max(best, 0.0)
 
 # --- fused backend program ---
 m, edges, n_edges = s.map, s.edges, s.n_edges
@@ -132,3 +132,45 @@ for i in range(200):
 a = np.array(lats)
 print(f"blocking-fetch latency: p50={np.percentile(a, 50):.1f} ms "
       f"p99={np.percentile(a, 99):.1f} ms", flush=True)
+
+# --- loop-merge storm (the closure path's device budget) -----------------
+# What one accepted loop costs the chip: verification + pose graph live
+# inside the fused backend program above; here the post-closure stages —
+# landmark fusion, the COMPACTED global BA, and the live-merge rewrite
+# (trajectory-ring correction + fusion merge) — are chain-timed on the
+# same mid-run state. The bench's loop_leg.merge_frame_ms is the
+# wall-clock of all of it plus the link; this is the chip-side split.
+def fuse_body(carry):
+    eps, acc = carry
+    pidf, frow, gh, dl, nf = bworker._loop_fuse_program(
+        m.replace(kf_pose=m.kf_pose + eps), kf_idx, jnp.int32(0),
+        jnp.eye(4))
+    chk = jnp.sum(frow) + jnp.sum(dl) + nf
+    return (eps + 1e-12 * chk.astype(jnp.float32), acc + chk.astype(jnp.float32))
+t = chain_time(fuse_body, lambda: (jnp.float32(ee.uniform(0, 1e-6)), jnp.float32(0)))
+print(f"loop_fuse device time: {t*1e3:.1f} ms", flush=True)
+
+def gba_body(carry):
+    eps, acc = carry
+    kf2, pt2, solved, rmse, okg, dmax = bworker._global_ba_program(
+        m.kf_pose + eps, m.pt_xyz, m.point_id, m, cfg)
+    chk = jnp.sum(kf2[0]) + rmse + dmax
+    return (eps + 1e-12 * chk, acc + chk)
+t = chain_time(gba_body, lambda: (jnp.float32(ee.uniform(0, 1e-6)), jnp.float32(0)), n1=3, n2=9)
+print(f"global_ba (compacted) device time: {t*1e3:.1f} ms", flush=True)
+
+def merge_body(carry):
+    eps, acc, bT = carry
+    mm = sess_mod._fuse_merge(
+        m, kf_idx, jnp.int32(0),
+        m.point_id[kf_idx], jnp.zeros((m.capacity_pt,), bool),
+        jnp.zeros((m.capacity_pt,), jnp.int32), jnp.int32(0))
+    bT2 = sess_mod._traj_correct(bT, jnp.int32(0), jnp.eye(4) + eps)
+    chk = jnp.sum(mm.pt_nobs).astype(jnp.float32) + jnp.sum(bT2[0])
+    return (eps + 1e-12 * chk, acc + chk, bT2)
+t = chain_time(
+    merge_body,
+    lambda: (jnp.float32(ee.uniform(0, 1e-6)), jnp.float32(0),
+             jnp.zeros((4096, 4, 4))),
+)
+print(f"merge rewrite (fusion + traj ring) device time: {t*1e3:.1f} ms", flush=True)
