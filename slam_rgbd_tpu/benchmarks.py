@@ -393,10 +393,18 @@ def bench_kernels(cfg, frames):
     h, w = tgt["valid"].shape
     th, n_tiles, w_pad = ip.plan_tiles(h, w, radius)
     srcp = ip.build_source_planes(src, th, n_tiles, w_pad)
+    # the production path (icp_align) ALWAYS mean-shifts the dominant
+    # flow before the kernel runs — the stencil and its runtime
+    # flow-bound pruning only ever see flow VARIATION; bench the same
+    # operating point
+    from slam_rgbd_tpu.odometry.icp import _project_level, flow_shift
+
+    _, up, vp, _ = _project_level(jnp.eye(4), src["vertices"], cam)
+    mu_u, mu_v = flow_shift(up, vp, h, w)
     tgtp = ip.build_target_planes(
-        tgt, jnp.int32(0), jnp.int32(0), radius, th, n_tiles, w_pad
+        tgt, mu_u, mu_v, radius, th, n_tiles, w_pad
     )
-    scal = ip.pack_scalars(jnp.eye(4), jnp.float32(0), jnp.float32(0))
+    scal = ip.pack_scalars(jnp.eye(4), mu_u, mu_v)
     srcp, tgtp = jax.device_put(srcp), jax.device_put(tgtp)
 
     rng0 = np.random.default_rng(7)
@@ -449,6 +457,17 @@ def bench_kernels(cfg, frames):
         "device_trace": round(trace_gn, 1) if trace_gn else None,
         "legacy_host_repeat": round(legacy_gn * 1e6, 1),
     }
+    if trace_gn:
+        # the chain runs iterations DEPENDENTLY (each kernel's pose
+        # operand waits on the previous iteration's update — exactly the
+        # GN loop's production context, ~75 us of serialization per
+        # iteration on this part), while the trace measures the isolated
+        # kernel. Both fractions are honest answers to different
+        # questions: "what does a GN iteration cost in the solver" vs
+        # "how close is the KERNEL to the hardware bound".
+        out["gn_reduce_640x480"]["fraction_kernel_only"] = round(
+            min(out["gn_reduce_640x480"]["sol_us"] / trace_gn, 1.0), 4
+        )
 
     # ---- hamming_top2 at the map-association workload ----------------------
     K1, K2 = cfg.orb.n_features, cfg.keyframes.max_map_points

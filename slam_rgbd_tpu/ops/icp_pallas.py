@@ -152,7 +152,7 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
     rgb_w = cfg.rgb_weight
     rgb_huber = cfg.rgb_huber
 
-    def kernel(scal_ref, src_ref, tgt_ref, out_ref, scratch, sems):
+    def kernel(scal_ref, src_ref, tgt_ref, out_ref, scratch, sems, acc_ref):
         # `batched` selects the (B, ...) block layouts of
         # `gn_reduce_batched` — including at B == 1, whose blocks still
         # carry the leading batch axis (conflating the two on n_b == 1
@@ -262,18 +262,44 @@ def _make_kernel(cam: CameraIntrinsics, cfg: ICPConfig, radius: int,
             )
         wsum = sum(wu_eff) * sum(wv_eff)
 
-        acc = jnp.zeros((10,) + shape, jnp.float32)
+        # ---- flow-bound term pruning (runtime, exact) ----------------------
+        # Coarse-to-fine alignment keeps the tile's flow VARIATION within a
+        # couple of pixels of the (mean-shifted) zero, so most of the
+        # (2R+2)^2 static stencil terms have zero bilinear weight for EVERY
+        # pixel that can pass the masks. Per tile, the min/max of the
+        # predicted displacement over maskable pixels bound which column
+        # groups can contribute: group du is live iff du in
+        # (du_lo - 1, du_hi + 1). Displacements are clamped to the stencil
+        # span first — a pixel whose |du_f| exceeds radius+1 gets zero
+        # weight from every in-span term anyway (its wsum gate then fails
+        # identically), so clamping keeps the pruned kernel BIT-IDENTICAL
+        # to the full stencil while skipping the dead groups' rolls and
+        # FMAs (typically 40-70% of the dominant loop). The group
+        # accumulation moves to a VMEM scratch (`pl.when` predicates ref
+        # writes, not register dataflow); one RMW of the (10, th, w_pad)
+        # block per LIVE group is ~1% of the FMA work it replaces.
+        pix_ok = (sval > 0.5) & in_front & row_ok
+        du_c = jnp.where(pix_ok, jnp.clip(du_f, -rv, rv + 1.0), 0.0)
+        du_lo, du_hi = jnp.min(du_c), jnp.max(du_c)
+
         win = scratch[slot]  # (10, span, w_pad)
         w_pad = shape[1]
+        acc_ref[:] = jnp.zeros((10, th, w_pad), jnp.float32)
         for idu, du in enumerate(offs):
-            # pltpu.roll wants a non-negative shift; wrap is gated out by
-            # the absolute-coordinate bounds check folded into wu_eff.
-            win_du = pltpu.roll(win, (-du) % w_pad, 2) if du else win
-            for idv, dv in enumerate(offs):
-                wgt = wu_eff[idu] * wv_eff[idv]
-                rows = win_du[:, rv + dv : rv + dv + th, :]
-                acc = acc + wgt[None] * rows
 
+            @pl.when((du > du_lo - 1.0) & (du < du_hi + 1.0))
+            def _(idu=idu, du=du):
+                # pltpu.roll wants a non-negative shift; wrap is gated out
+                # by the absolute-coordinate bounds check in wu_eff.
+                win_du = pltpu.roll(win, (-du) % w_pad, 2) if du else win
+                grp = jnp.zeros((10,) + shape, jnp.float32)
+                for idv, dv in enumerate(offs):
+                    wgt = wu_eff[idu] * wv_eff[idv]
+                    rows = win_du[:, rv + dv : rv + dv + th, :]
+                    grp = grp + wgt[None] * rows
+                acc_ref[:] = acc_ref[:] + grp
+
+        acc = acc_ref[:]
         # acc[6] IS the weighted validity sum (channel 6 = valid plane);
         # a separate vsum accumulator would be a redundant per-term FMA.
         samp_ok = (wsum > 0.999) & (acc[6] > 0.999)
@@ -401,6 +427,9 @@ def gn_reduce(
         scratch_shapes=[
             pltpu.VMEM((2, 10, span, w_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            # stencil accumulator: `pl.when`-predicated group skipping
+            # needs ref (not register) accumulation
+            pltpu.VMEM((10, th, w_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * th * w_pad * (n_terms * 24 + 260),
@@ -482,6 +511,9 @@ def gn_reduce_batched(
         scratch_shapes=[
             pltpu.VMEM((2, 10, span, w_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            # stencil accumulator: `pl.when`-predicated group skipping
+            # needs ref (not register) accumulation
+            pltpu.VMEM((10, th, w_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=n_b * n_tiles * th * w_pad * (n_terms * 24 + 260),
