@@ -60,9 +60,17 @@ def _make_source(args, cfg):
         n = int(args.input.split(":")[1]) if ":" in args.input else 100
         seq = SyntheticSequence(n, cfg.camera)
         return seq, seq.groundtruth()
+    if args.input and args.input.startswith("grabber:"):
+        # live-hardware adapter by dotted path ("grabber:pkg.mod:factory")
+        # — the pluggable Astra-wrapper boundary (io/grabber.py); the
+        # factory returns a FrameGrabber over the vendor SDK
+        from slam_rgbd_tpu.io.grabber import GrabberSource, resolve_grabber
+
+        factory = resolve_grabber(args.input[len("grabber:"):])
+        return GrabberSource(factory, stream_cfg=cfg.stream), None
     raise SystemExit(
         f"unrecognized input {args.input!r}: expected a TUM directory, a "
-        f".rgbd recording, or 'synthetic[:N]'"
+        f".rgbd recording, 'synthetic[:N]', or 'grabber:module:factory'"
     )
 
 

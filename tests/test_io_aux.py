@@ -234,3 +234,71 @@ class TestProfiling:
         r = profiling.speed_of_light(8.19e11, 1.0, "v5e")
         assert r["fraction"] == 1.0
         assert r["sol_s"] == pytest.approx(1.0)
+
+
+class TestFrameGrabber:
+    """Pluggable live-sensor adapter boundary (io/grabber.py — the
+    reference's astra_wrapper.h surface with the sensor loop's
+    fault-tolerance, `sensorModule.c:25,50-67,216-239`)."""
+
+    CAM = CameraIntrinsics(fx=80.0, fy=80.0, cx=39.5, cy=29.5,
+                           width=80, height=60)
+
+    def test_grabs_frames_with_intrinsics(self):
+        from slam_rgbd_tpu.io.grabber import GrabberSource, SyntheticGrabber
+
+        src = GrabberSource(
+            lambda: SyntheticGrabber(self.CAM, n_frames=5))
+        frames = list(src)
+        assert len(frames) == 5
+        ts, d, c = frames[0]
+        assert d.shape == (60, 80) and d.dtype == np.uint16
+        assert c.shape == (60, 80, 3) and c.dtype == np.uint8
+        assert src.grabbers[-1].intrinsics.fx == 80.0
+
+    def test_open_retry_then_success(self):
+        from slam_rgbd_tpu.io.grabber import GrabberSource, SyntheticGrabber
+        from slam_rgbd_tpu.core.config import StreamConfig
+
+        g = SyntheticGrabber(self.CAM, n_frames=3, fail_open=2)
+        src = GrabberSource(lambda: g, StreamConfig(init_retries=3))
+        frames = list(src)
+        assert len(frames) == 3
+        assert g.open_attempts == 3  # two failures, then success
+
+    def test_reinit_after_consecutive_errors(self):
+        """5 consecutive grab failures tear the grabber down and open a
+        REPLACEMENT (the old instance is closed first); frames before and
+        after the fault window all arrive."""
+        from slam_rgbd_tpu.io.grabber import GrabberSource, SyntheticGrabber
+        from slam_rgbd_tpu.core.config import StreamConfig
+
+        made = []
+
+        def factory():
+            # first instance fails frames 3..7 (5 consecutive); the
+            # replacement is clean
+            fail = (3, 4, 5, 6, 7) if not made else ()
+            g = SyntheticGrabber(self.CAM, n_frames=10, fail_at=fail)
+            made.append(g)
+            return g
+
+        src = GrabberSource(
+            factory, StreamConfig(max_consecutive_errors=5))
+        frames = list(src)
+        assert src.reinit_count == 1
+        assert len(made) == 2
+        assert not made[0]._open  # predecessor torn down
+        # 3 good frames from the first instance + 10 from the second
+        assert len(frames) == 13
+
+    def test_resolve_grabber_path(self):
+        from slam_rgbd_tpu.io.grabber import resolve_grabber
+
+        factory = resolve_grabber(
+            "slam_rgbd_tpu.io.grabber:SyntheticGrabber")
+        assert callable(factory)
+        with pytest.raises(ValueError):
+            resolve_grabber("no_colon_here")
+        with pytest.raises(ModuleNotFoundError):
+            resolve_grabber("not.a.module:thing")
